@@ -1,0 +1,179 @@
+"""Detector facade: the TPU-native counterpart of PartsBasedDetector.
+
+Mirrors the reference's 4-stage pipeline — pyramid, filter-bank scoring,
+DP, backtracking (reference: src/PartsBasedDetector.cpp:69-95) — as one
+jitted program per (image shape, model) pair:
+
+  stage 1  resize ladder + HOG per level, levels grouped into per-octave
+           padded buckets (SURVEY.md §7.2 shape bucketing)
+  stage 2  one MXU conv per bucket over all mixture filters
+  stage 3  vmapped tree-scan DP over levels
+  stage 4  deterministic top-K extraction + unrolled backtracking
+
+``distributeModel`` (reference: src/PartsBasedDetector.cpp:102-127)
+becomes ``pack_model``: weights land on device once; per-image work is a
+single device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from partsbaseddetector_tpu.models.part_tree import PackedModel, pack_model
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.infer.pyramid_plan import PyramidPlan, make_plan
+from partsbaseddetector_tpu.ops import argmax as argmax_ops
+from partsbaseddetector_tpu.ops.common import NEG
+from partsbaseddetector_tpu.ops.conv import conv_bank
+from partsbaseddetector_tpu.ops.dp import dp_min_levels
+from partsbaseddetector_tpu.ops.hog import hog_features
+from partsbaseddetector_tpu.ops.imageops import pyr_down, resize_linear
+
+
+@dataclasses.dataclass
+class Detection:
+    """Host-side detection result (the reference's Candidate,
+    include/Candidate.hpp:56-101)."""
+
+    score: float
+    component: int
+    level: int
+    parts: np.ndarray      # (P, 4) float boxes x1, y1, x2, y2
+    locations: np.ndarray  # (P, 3) int x, y, mixture (feature-grid coords)
+
+    def bounding_box(self) -> np.ndarray:
+        """Hull over part boxes (reference: include/Candidate.hpp:105-111).
+        """
+        x1 = self.parts[:, 0].min()
+        y1 = self.parts[:, 1].min()
+        x2 = self.parts[:, 2].max()
+        y2 = self.parts[:, 3].max()
+        return np.array([x1, y1, x2, y2])
+
+
+def _detect_program(image: jnp.ndarray, packed: PackedModel,
+                    plan: PyramidPlan, k_per_level: int,
+                    compose: str) -> argmax_ops.Candidates:
+    """The full jitted detection program for one image."""
+    binsize = plan.binsize
+    norient = packed.norient
+    flen = packed.flen
+
+    all_cands: List[argmax_ops.Candidates] = []
+    img = image.astype(jnp.float32)
+    prev_buf = None            # padded (L, H, W, C) images of prev octave
+    prev_levels = None
+
+    for bucket in plan.buckets:
+        # ---- stage 1a: scale ladder into the bucket buffer
+        lvl_imgs = []
+        for j, lvl in enumerate(bucket.levels):
+            if bucket.octave == 0:
+                lvl_imgs.append(resize_linear(img, bucket.img_pad,
+                                              lvl.imsize))
+            else:
+                src = prev_buf[j]
+                src_size = prev_levels[j].imsize
+                lvl_imgs.append(pyr_down(src, bucket.img_pad, src_size))
+        buf = jnp.stack(lvl_imgs)               # (L, H, W[, C])
+        prev_buf, prev_levels = buf, bucket.levels
+
+        # ---- stage 1b: HOG per level (static true sizes per plan)
+        feats = jnp.stack([
+            hog_features(buf[j], binsize, norient, flen,
+                         true_size=lvl.imsize, feat_pad=bucket.feat_pad)
+            for j, lvl in enumerate(bucket.levels)])   # (L, fh, fw, C)
+
+        # ---- stage 2: one conv for the whole bucket
+        tsizes = jnp.asarray([lvl.featsize for lvl in bucket.levels],
+                             jnp.int32)
+        pdfs = conv_bank(feats, packed.bank, true_size=tsizes)
+
+        # mask responses beyond each level's true extent so the DT can
+        # never pull a padded cell into the true region
+        fh, fw = bucket.feat_pad
+        masks = np.zeros((len(bucket.levels), fh, fw, 1), np.float32)
+        for j, lvl in enumerate(bucket.levels):
+            masks[j, :lvl.featsize[0], :lvl.featsize[1]] = 1.0
+        maskj = jnp.asarray(masks)
+        pdfs = pdfs * maskj + (1.0 - maskj) * NEG
+
+        scales = jnp.asarray([lvl.scale for lvl in bucket.levels],
+                             jnp.float32)
+        # ---- stages 3-4 per component
+        for c, comp in enumerate(packed.components):
+            res = dp_min_levels(pdfs, comp, compose)
+            cands = argmax_ops.backtrack_levels(
+                res, comp, packed.parent_static[c], packed.thresh,
+                scales, k_per_level, true_sizes=tsizes,
+                component_index=c,
+                level_offset=bucket.levels[0].index)
+            all_cands.append(cands)
+
+    merged = argmax_ops.concat_candidates(all_cands)
+    return argmax_ops.sort_candidates(merged)
+
+
+class Detector:
+    """User-facing facade.
+
+    >>> det = Detector(model)
+    >>> detections = det.detect(image)     # image: (H, W[, 3]) RGB array
+    """
+
+    def __init__(self, model: PartsModel, k_per_level: int = 64,
+                 compose: str = "reference"):
+        self.model = model
+        self.packed = pack_model(model)
+        self.k_per_level = int(k_per_level)
+        self.compose = compose
+        self._compiled: Dict[Tuple[int, int], object] = {}
+
+    def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
+        return make_plan(imshape, self.model.binsize, self.model.interval)
+
+    def _get_fn(self, imshape: Tuple[int, int]):
+        key = tuple(imshape)
+        if key not in self._compiled:
+            plan = self.plan_for(imshape)
+            fn = jax.jit(partial(_detect_program, plan=plan,
+                                 k_per_level=self.k_per_level,
+                                 compose=self.compose))
+            self._compiled[key] = (fn, plan)
+        return self._compiled[key]
+
+    def detect_raw(self, image) -> argmax_ops.Candidates:
+        """Run the device program; returns the fixed-capacity Candidates
+        pytree (scores sorted descending, invalid entries last)."""
+        image = jnp.asarray(image)
+        fn, _ = self._get_fn(image.shape[:2])
+        return fn(image, self.packed)
+
+    def detect(self, image, max_detections: Optional[int] = None
+               ) -> List[Detection]:
+        """Detect and return host-side Detections above the model
+        threshold, sorted by score descending."""
+        cands = self.detect_raw(image)
+        score = np.asarray(cands.score)
+        valid = np.asarray(cands.valid)
+        comp = np.asarray(cands.component)
+        level = np.asarray(cands.level)
+        boxes = np.asarray(cands.boxes)
+        locs = np.asarray(cands.loc)
+        out: List[Detection] = []
+        for i in range(len(score)):
+            if not valid[i]:
+                continue
+            out.append(Detection(score=float(score[i]),
+                                 component=int(comp[i]),
+                                 level=int(level[i]),
+                                 parts=boxes[i], locations=locs[i]))
+            if max_detections is not None and len(out) >= max_detections:
+                break
+        return out

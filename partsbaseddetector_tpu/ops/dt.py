@@ -1,0 +1,92 @@
+"""Generalized (quadratic) distance transform on TPU.
+
+The reference computes, per part mixture, a separable max-transform
+  out[py, px] = max_{cy, cx} score[cy, cx] - w0 dx^2 - w1 dx - w2 dy^2
+                                            - w3 dy,
+  dx = (px + ax) - cx,  dy = (py + ay) - cy
+via the O(N) lower-envelope algorithm
+(reference: include/DistanceTransform.hpp:152-182, invoked with negated
+weights at src/DynamicProgram.cpp:125-128).
+
+The envelope algorithm is sequential per row.  On TPU the profitable
+formulation is the dense separable max-plus contraction: for each of the
+two passes, broadcast a (N_out, N_in) quadratic penalty matrix against the
+rows and max-reduce — pure VPU work with perfect parallelism over rows x
+mixtures x parts x levels, no sequential dependency, and XLA fuses the
+broadcast+reduce so the (R, N, N) intermediate never materializes in HBM.
+An O(N*K) windowed variant (quadratic growth bounds the useful
+displacement) and a Pallas envelope kernel are the escalation path.
+
+Argmin-table composition replicates the reference quirk exactly
+(include/DistanceTransform.hpp:233-244; see oracle.reference.
+distance_transform): compose="reference" leaves the row-pass table
+indexed by child-y rows and gathers Iy through it; compose="correct"
+is the textbook composition.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from partsbaseddetector_tpu.ops.common import DEFAULT_DTYPE
+
+
+def _penalty_matrix(n: int, a, b, offset, dtype=DEFAULT_DTYPE):
+    """(n_out, n_in) matrix P[q, x'] = -a*d^2 - b*d with d = q + offset
+    - x'.  a, b, offset may be traced scalars."""
+    q = jnp.arange(n, dtype=dtype)[:, None]
+    x = jnp.arange(n, dtype=dtype)[None, :]
+    d = q + jnp.asarray(offset, dtype) - x
+    return -jnp.asarray(a, dtype) * d * d - jnp.asarray(b, dtype) * d
+
+
+def _pass_1d(src: jnp.ndarray, a, b, offset):
+    """One 1-D max-transform pass along the last axis.
+    src: (..., R, N).  Returns (dst, argmax) each (..., R, N) where
+    dst[..., q] = max_x src[..., x] + P[q, x]."""
+    n = src.shape[-1]
+    pen = _penalty_matrix(n, a, b, offset, src.dtype)      # (Nq, Nx)
+    cand = src[..., None, :] + pen                          # (..., Nq, Nx)
+    idx = jnp.argmax(cand, axis=-1)
+    dst = jnp.max(cand, axis=-1)
+    return dst, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("compose",))
+def distance_transform(score: jnp.ndarray, w: jnp.ndarray,
+                       anchor: jnp.ndarray, compose: str = "reference"):
+    """2-D generalized distance transform.
+
+    score: (M, N); w: (4,) deformation weights (w0..w3); anchor: (2,)
+    (ax, ay).  Returns (out, Ix, Iy) each (M, N), indexed
+    [parent_y, parent_x]; Ix/Iy int32 child coordinates."""
+    ax = anchor[0]
+    ay = anchor[1]
+    # x pass along rows
+    tmp, ix_row = _pass_1d(score, w[0], w[1], ax)           # (M, N)
+    # y pass along columns (transpose to put y last)
+    out_t, iy_col_t = _pass_1d(tmp.T, w[2], w[3], ay)       # (N, M)
+    out = out_t.T
+    iy_col = iy_col_t.T                                     # (M, N)
+
+    if compose == "reference":
+        ix = ix_row
+        iy = jnp.take_along_axis(iy_col, ix_row, axis=1)
+    elif compose == "correct":
+        iy = iy_col
+        ix = jnp.take_along_axis(ix_row, iy_col, axis=0)
+    else:
+        raise ValueError(compose)
+    return out, ix, iy
+
+
+def dt_mixtures(scores: jnp.ndarray, defw: jnp.ndarray,
+                anchors: jnp.ndarray, compose: str = "reference"):
+    """vmapped DT over the mixture axis.  scores: (M_mix, H, W); defw:
+    (M_mix, 4); anchors: (M_mix, 2)."""
+    return jax.vmap(
+        lambda s, w, a: distance_transform(s, w, a, compose)
+    )(scores, defw, anchors)

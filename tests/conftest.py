@@ -4,12 +4,19 @@ sharding/multi-chip logic runs in CI without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # force: the image presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The image's sitecustomize registers the axon (TPU-tunnel) PJRT plugin and
+# programmatically sets jax_platforms="axon,cpu", overriding the env var —
+# override it back after import so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
