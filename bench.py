@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: frames/sec/chip on the flagship workload.
+
+Workload (mirrors BASELINE.json config 2): person-26-part mixture model
+(26 parts, 4 mixtures/part, 5x5x32 filters, interval 10 — the shape of
+conf/config_person.by_parts's Person_26parts model), full HOG pyramid on a
+640x480 RGB frame (46 scales), end-to-end detection: ladder + HOG +
+mixture-filter-bank conv + distance transforms + tree DP + top-K
+candidate extraction, all on device.
+
+Baseline: the same workload on the reference's algorithm/parallelism
+structure (C++ OpenMP, O(N) envelope DT — native/pbd_native.cpp), measured
+on this machine's CPUs; stored in baseline_cpu.json by
+tools/measure_baseline.py.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+IMG = (480, 640)
+FRAMES = 8
+
+
+def measure_tpu_fps() -> dict:
+    import jax
+    from partsbaseddetector_tpu.models import synthetic
+    from partsbaseddetector_tpu.infer.detector import Detector
+
+    model = synthetic.person_like()
+    model.thresh = 0.0
+    det = Detector(model, k_per_level=64)
+    rng = np.random.default_rng(0)
+    im = (rng.random(IMG + (3,)) * 255).astype(np.float32)
+
+    t0 = time.time()
+    c = det.detect_raw(im)
+    np.asarray(c.score)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(FRAMES):
+        t0 = time.time()
+        c = det.detect_raw(im)
+        np.asarray(c.score)   # host fetch forces completion
+        times.append(time.time() - t0)
+    best = min(times)
+    return {
+        "sec_per_frame": best,
+        "fps": 1.0 / best,
+        "compile_s": compile_s,
+        "device": str(jax.devices()[0]),
+        "all_times": [round(t, 4) for t in times],
+    }
+
+
+def load_baseline() -> dict:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baseline_cpu.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def main():
+    res = measure_tpu_fps()
+    baseline = load_baseline()
+    vs = None
+    if baseline.get("fps"):
+        vs = res["fps"] / baseline["fps"]
+    out = {
+        "metric": "frames/sec/chip (person-26 mixtures-of-parts, "
+                  "640x480 full 46-scale pyramid, end-to-end detect)",
+        "value": round(res["fps"], 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }
+    print(json.dumps(out))
+    # details to stderr for humans
+    print(json.dumps({"detail": res, "baseline": baseline}),
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,7 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales, k_per_level, true_sizes=tsizes,
                 component_index=c,
-                level_offset=bucket.levels[0].index)
+                level_offset=bucket.levels[0].index, compose=compose)
             all_cands.append(cands)
 
     merged = argmax_ops.concat_candidates(all_cands)
@@ -159,7 +159,15 @@ class Detector:
                ) -> List[Detection]:
         """Detect and return host-side Detections above the model
         threshold, sorted by score descending."""
-        cands = self.detect_raw(image)
+        return self.candidates_to_detections(self.detect_raw(image),
+                                             max_detections)
+
+    @staticmethod
+    def candidates_to_detections(cands: argmax_ops.Candidates,
+                                 max_detections: Optional[int] = None
+                                 ) -> List[Detection]:
+        """Convert a device Candidates pytree to host Detections
+        (valid entries only, preserving order)."""
         score = np.asarray(cands.score)
         valid = np.asarray(cands.valid)
         comp = np.asarray(cands.component)

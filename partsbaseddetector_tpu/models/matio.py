@@ -63,7 +63,10 @@ def load_mat(path: str) -> PartsModel:
     interval = int(_scalar(_field(model, "interval")))
     thresh = _scalar(_field(model, "thresh"))
     binsize = int(_scalar(_field(model, "sbin")))
-    norient = 18  # hardcoded, reference: src/MatlabIOModel.cpp:101
+    # the .mat schema has no norient; the reference hardcodes 18
+    # (src/MatlabIOModel.cpp:101).  Our writer adds a top-level
+    # "norient" variable; honor it when present.
+    norient = int(_scalar(raw["norient"])) if "norient" in raw else 18
 
     # filters: struct array with field w of shape (h, w, C)
     filters_rec = _field(model, "filters").ravel()
@@ -175,4 +178,5 @@ def save_mat(path: str, model: PartsModel) -> None:
         "bias": bias,
         "components": comp_cell,
     })
-    scipy.io.savemat(path, {"model": model_rec, "name": model.name})
+    scipy.io.savemat(path, {"model": model_rec, "name": model.name,
+                            "norient": float(model.norient)})

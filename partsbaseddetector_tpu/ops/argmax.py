@@ -48,7 +48,7 @@ class Candidates:
 def backtrack(res: DPResult, comp: PackedComponent,
               parent_static: Sequence[int], thresh, scale,
               k: int, true_size=None, component_index: int = 0,
-              level_index=0) -> Candidates:
+              level_index=0, compose: str = "reference") -> Candidates:
     """Extract the top-k root locations above thresh and walk the tree.
 
     res: DPResult for one (level, component); scale: pixels per feature
@@ -73,6 +73,7 @@ def backtrack(res: DPResult, comp: PackedComponent,
     xs = (topi % W).astype(jnp.int32)
     valid = topv > thresh
 
+    from partsbaseddetector_tpu.ops.dp import walk_step
     xv = [None] * P
     yv = [None] * P
     mv = [None] * P
@@ -80,10 +81,10 @@ def backtrack(res: DPResult, comp: PackedComponent,
     mv[0] = res.rooti[ys, xs]
     for p in range(1, P):
         par = int(parent_static[p])
-        xp_, yp_, mp_ = xv[par], yv[par], mv[par]
-        xv[p] = res.Ix[p, mp_, yp_, xp_]
-        yv[p] = res.Iy[p, mp_, yp_, xp_]
-        mv[p] = res.Ik[p, mp_, yp_, xp_]
+        # two packed K-element gathers per part (incl. the deferred DT
+        # argmin composition — see ops/dp.py docstring)
+        xv[p], yv[p], mv[p] = walk_step(
+            res, p, mv[par], yv[par], xv[par], compose)
 
     X = jnp.stack(xv, axis=1)    # (K, P)
     Y = jnp.stack(yv, axis=1)
@@ -110,7 +111,8 @@ def backtrack_levels(res: DPResult, comp: PackedComponent,
                      parent_static: Sequence[int], thresh,
                      scales: jnp.ndarray, k: int,
                      true_sizes=None, component_index: int = 0,
-                     level_offset: int = 0) -> Candidates:
+                     level_offset: int = 0,
+                     compose: str = "reference") -> Candidates:
     """vmapped backtracking over a leading levels axis, returning a flat
     Candidates of capacity L*k."""
     L = res.rootv.shape[0]
@@ -118,12 +120,12 @@ def backtrack_levels(res: DPResult, comp: PackedComponent,
     if true_sizes is None:
         fn = jax.vmap(lambda r, s, li: backtrack(
             r, comp, parent_static, thresh, s, k, None,
-            component_index, li))
+            component_index, li, compose))
         out = fn(res, scales, levels)
     else:
         fn = jax.vmap(lambda r, s, ts, li: backtrack(
             r, comp, parent_static, thresh, s, k, ts,
-            component_index, li))
+            component_index, li, compose))
         out = fn(res, scales, true_sizes, levels)
     return jax.tree.map(
         lambda x: x.reshape((L * k,) + x.shape[2:]), out)

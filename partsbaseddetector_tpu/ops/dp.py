@@ -14,9 +14,28 @@ parent mixture-pair bias table, max-reduce over child mixtures (the
 reference's Math::reduceMax + reducePickIndex, include/Math.hpp:108-185),
 and scatter-add the result into the parent's accumulated score.
 
-Scores are keyed by part slot (P, M, H, W) rather than by filter id as in
-the reference (``ncscores``, src/DynamicProgram.cpp:93-155) — equivalent
-for models without filter aliasing, which pack_model asserts.
+TPU-shaped design decisions (vs a naive translation):
+  * scores are keyed by part slot (P, M, H, W) rather than by filter id
+    (the reference's ncscores, src/DynamicProgram.cpp:93-155) —
+    equivalent for models without filter aliasing, asserted at pack time;
+  * NO per-element (H, W) gathers anywhere: mixture selection uses
+    one-hot sums over the tiny mixture axis, and the DT argmin
+    composition (an (H, W) gather in the reference,
+    include/DistanceTransform.hpp:233-244) is deferred to backtracking
+    where it touches only K candidates (ops/argmax.py);
+  * backtrack state is bit-packed into int32 tables so the per-part walk
+    is one gather (plus one for the deferred compose).
+
+Packed tables:
+  bt1[p, m_parent, y, x] = primary-axis child coord (bits 0..11)
+                           | winning child mixture (bits 24..30)
+  bt2[p, m_child, y, x]  = secondary-axis pass argmax (bits 0..11)
+
+With compose="reference", primary = x (row-pass Ix), secondary = the
+column-pass Iy, and the composed child y is bt2[p, mc, y, x_child]
+read at the *composed x* — reproducing Iy[m][n] = IyCol[m][Ix[m][n]]
+(and the row-pass table being indexed by parent y, the reference's
+quirk).  With compose="correct", primary = y and secondary = x.
 """
 
 from __future__ import annotations
@@ -29,15 +48,26 @@ import jax.numpy as jnp
 
 from partsbaseddetector_tpu.models.part_tree import PackedComponent
 from partsbaseddetector_tpu.ops.common import NEG
-from partsbaseddetector_tpu.ops.dt import dt_mixtures
+from partsbaseddetector_tpu.ops.dt import dt_mixtures_raw
 
 
 class DPResult(NamedTuple):
     rootv: jnp.ndarray   # (H, W) root score map (bias added, maxed)
     rooti: jnp.ndarray   # (H, W) int32 best root mixture
-    Ix: jnp.ndarray      # (P, M, H, W) int32 child x at parent (y, x)
-    Iy: jnp.ndarray      # (P, M, H, W) int32 child y
-    Ik: jnp.ndarray      # (P, M, H, W) int32 child mixture
+    bt1: jnp.ndarray     # (P, M, H, W) int32, see module docstring
+    bt2: jnp.ndarray     # (P, M, H, W) int32
+
+
+def _onehot_select_int(values: jnp.ndarray, idx: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """out[mp, ...] = values[idx[mp, ...], ...] via one-hot sum over the
+    (tiny) leading mixture axis — avoids TPU per-element gathers.
+    values: (Mc, H, W) int32; idx: (Mp, H, W) int32."""
+    M = values.shape[0]
+    acc = jnp.zeros_like(idx)
+    for mc in range(M):
+        acc = acc + jnp.where(idx == mc, values[mc], 0)
+    return acc
 
 
 @partial(jax.jit, static_argnames=("compose",))
@@ -49,41 +79,49 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     ops.conv.conv_bank), matching the reference's responses-by-filter-id
     convention (include/Parts.hpp:165-168).
     """
+    if compose not in ("reference", "correct"):
+        raise ValueError(compose)
     P, M = comp.filterid.shape
     H, W = pdfs.shape[:2]
+    assert H < 4096 and W < 4096 and M < 128, (H, W, M)
     pdfs_f = jnp.moveaxis(pdfs, -1, 0)                 # (F, H, W)
     scores0 = pdfs_f[comp.filterid]                    # (P, M, H, W)
     # invalid mixture slots must never win any max
     scores0 = jnp.where(comp.mix_valid[..., None, None], scores0, NEG)
 
+    mixid = jnp.arange(M, dtype=jnp.int32)[:, None, None]
+
     def step(scores, p):
         s = scores[p]                                  # (M, H, W)
-        sdt, ix, iy = dt_mixtures(s, comp.defw[p], comp.anchor[p],
-                                  compose)
+        sdt, ix_row, iy_col = dt_mixtures_raw(
+            s, comp.defw[p], comp.anchor[p])
         # bias[p] is (child_m, parent_m); weighted: (Mp, Mc, H, W)
         weighted = sdt[None, :, :, :] + \
             comp.bias[p].T[:, :, None, None]
         ik = jnp.argmax(weighted, axis=1).astype(jnp.int32)  # (Mp, H, W)
         maxv = jnp.max(weighted, axis=1)
-        sel = ik[:, None, :, :]
-        ixp = jnp.take_along_axis(
-            jnp.broadcast_to(ix[None], (M, M, H, W)), sel, axis=1)[:, 0]
-        iyp = jnp.take_along_axis(
-            jnp.broadcast_to(iy[None], (M, M, H, W)), sel, axis=1)[:, 0]
+        if compose == "reference":
+            primary, secondary = ix_row, iy_col
+        else:
+            primary, secondary = iy_col, ix_row
+        packed1 = primary | (jnp.broadcast_to(
+            mixid, (M, H, W)) << 24)                   # (Mc, H, W)
+        bt1 = _onehot_select_int(packed1, ik)          # (Mp, H, W)
         scores = scores.at[comp.parent[p]].add(maxv)
-        return scores, (ixp, iyp, ik)
+        return scores, (bt1, secondary)
 
     parts_rev = jnp.arange(P - 1, 0, -1)
-    scores, (ixs, iys, iks) = jax.lax.scan(step, scores0, parts_rev)
+    scores, (bt1s, bt2s) = jax.lax.scan(step, scores0, parts_rev)
 
     # reorder scan outputs (visited P-1..1) into part-index order with a
     # zero row for the root
     def to_tables(x):
-        x = jnp.flip(x, axis=0)                        # parts 1..P-1
+        x = jnp.flip(x, axis=0)
         return jnp.concatenate(
             [jnp.zeros((1,) + x.shape[1:], x.dtype), x], axis=0)
 
-    Ix, Iy, Ik = (to_tables(t) for t in (ixs, iys, iks))
+    bt1 = to_tables(bt1s)
+    bt2 = to_tables(bt2s)
 
     # root: add the scalar root bias to every root mixture and max
     # (reference: src/DynamicProgram.cpp:162-171)
@@ -91,10 +129,48 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     rootw = jnp.where(comp.mix_valid[0][:, None, None], rootw, NEG)
     rooti = jnp.argmax(rootw, axis=0).astype(jnp.int32)
     rootv = jnp.max(rootw, axis=0)
-    return DPResult(rootv, rooti, Ix, Iy, Ik)
+    return DPResult(rootv, rooti, bt1, bt2)
 
 
 def dp_min_levels(pdfs: jnp.ndarray, comp: PackedComponent,
                   compose: str = "reference") -> DPResult:
     """vmap of dp_min over a leading levels axis: pdfs (L, H, W, F)."""
     return jax.vmap(lambda x: dp_min(x, comp, compose))(pdfs)
+
+
+def walk_step(res: DPResult, p: int, mp, py, px, compose: str):
+    """One backtracking step: child (x, y, mixture) of part p given the
+    parent's (mixture, y, x) — performs the deferred argmin composition
+    (reference: include/DistanceTransform.hpp:233-244 +
+    src/DynamicProgram.cpp:219-235).  All index args are equal-shaped
+    int32 arrays."""
+    b1 = res.bt1[p, mp, py, px]
+    prim = b1 & 0xFFF
+    mc = (b1 >> 24) & 0x7F
+    if compose == "reference":
+        x = prim
+        y = res.bt2[p, mc, py, x] & 0xFFF
+    else:
+        y = prim
+        x = res.bt2[p, mc, y, px] & 0xFFF
+    return x, y, mc
+
+
+def composed_tables(res: DPResult, comp: PackedComponent,
+                    compose: str = "reference"):
+    """Materialize full (P, M, H, W) Ix/Iy/Ik tables (test/debug helper —
+    the production path never builds these)."""
+    P, M, H, W = res.bt1.shape
+    yy = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).astype(jnp.int32)
+    xx = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W)).astype(jnp.int32)
+    Ix = jnp.zeros((P, M, H, W), jnp.int32)
+    Iy = jnp.zeros((P, M, H, W), jnp.int32)
+    Ik = jnp.zeros((P, M, H, W), jnp.int32)
+    for p in range(1, P):
+        for m in range(M):
+            mp = jnp.full((H, W), m, jnp.int32)
+            x, y, mc = walk_step(res, p, mp, yy, xx, compose)
+            Ix = Ix.at[p, m].set(x)
+            Iy = Iy.at[p, m].set(y)
+            Ik = Ik.at[p, m].set(mc)
+    return Ix, Iy, Ik

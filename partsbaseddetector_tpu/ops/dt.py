@@ -46,32 +46,56 @@ def _penalty_matrix(n: int, a, b, offset, dtype=DEFAULT_DTYPE):
 def _pass_1d(src: jnp.ndarray, a, b, offset):
     """One 1-D max-transform pass along the last axis.
     src: (..., R, N).  Returns (dst, argmax) each (..., R, N) where
-    dst[..., q] = max_x src[..., x] + P[q, x]."""
+    dst[..., q] = max_x src[..., x] + P[q, x].
+
+    The argmax is computed as max + masked-iota max rather than a
+    variadic (value, index) reduce: on TPU the variadic argmax lowering
+    runs ~5x slower than two plain max reduces over the same fused
+    candidate expression.  Ties resolve to the smallest x (matching
+    numpy argmax and the envelope algorithm's tie behavior)."""
     n = src.shape[-1]
     pen = _penalty_matrix(n, a, b, offset, src.dtype)      # (Nq, Nx)
     cand = src[..., None, :] + pen                          # (..., Nq, Nx)
-    idx = jnp.argmax(cand, axis=-1)
     dst = jnp.max(cand, axis=-1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # recomputing cand in this second fusion yields bitwise-identical
+    # values (same expression), so >= hits exactly the max elements
+    rev = jnp.where(cand >= dst[..., None], n - 1 - iota,
+                    jnp.int32(-1))
+    idx = (n - 1) - jnp.max(rev, axis=-1)
     return dst, idx.astype(jnp.int32)
+
+
+def distance_transform_raw(score: jnp.ndarray, w: jnp.ndarray,
+                           anchor: jnp.ndarray):
+    """2-D generalized distance transform, raw pass tables.
+
+    score: (M, N); w: (4,); anchor: (2,) (ax, ay).
+    Returns (out, ix_row, iy_col), each (M, N):
+      out[py, px]    - the max-transformed score
+      ix_row[cy, px] - x-pass argmax (rows indexed by CHILD y)
+      iy_col[py, px] - y-pass argmax
+
+    The argmin-table *composition* (reference: include/DistanceTransform.
+    hpp:233-244) is deliberately deferred to backtracking time: composing
+    here costs an (H, W)-sized per-element gather per part per mixture —
+    catastrophic on TPU — while at backtrack time it is one extra
+    K-element gather per part (ops/argmax.py)."""
+    ax = anchor[0]
+    ay = anchor[1]
+    tmp, ix_row = _pass_1d(score, w[0], w[1], ax)           # (M, N)
+    out_t, iy_col_t = _pass_1d(tmp.T, w[2], w[3], ay)       # (N, M)
+    return out_t.T, ix_row, iy_col_t.T
 
 
 @partial(jax.jit, static_argnames=("compose",))
 def distance_transform(score: jnp.ndarray, w: jnp.ndarray,
                        anchor: jnp.ndarray, compose: str = "reference"):
-    """2-D generalized distance transform.
+    """Full DT with composed argmax tables (reference semantics; used by
+    tests and small-scale paths — the production DP keeps raw tables).
 
-    score: (M, N); w: (4,) deformation weights (w0..w3); anchor: (2,)
-    (ax, ay).  Returns (out, Ix, Iy) each (M, N), indexed
-    [parent_y, parent_x]; Ix/Iy int32 child coordinates."""
-    ax = anchor[0]
-    ay = anchor[1]
-    # x pass along rows
-    tmp, ix_row = _pass_1d(score, w[0], w[1], ax)           # (M, N)
-    # y pass along columns (transpose to put y last)
-    out_t, iy_col_t = _pass_1d(tmp.T, w[2], w[3], ay)       # (N, M)
-    out = out_t.T
-    iy_col = iy_col_t.T                                     # (M, N)
-
+    Returns (out, Ix, Iy) each (M, N) indexed [parent_y, parent_x]."""
+    out, ix_row, iy_col = distance_transform_raw(score, w, anchor)
     if compose == "reference":
         ix = ix_row
         iy = jnp.take_along_axis(iy_col, ix_row, axis=1)
@@ -83,10 +107,7 @@ def distance_transform(score: jnp.ndarray, w: jnp.ndarray,
     return out, ix, iy
 
 
-def dt_mixtures(scores: jnp.ndarray, defw: jnp.ndarray,
-                anchors: jnp.ndarray, compose: str = "reference"):
-    """vmapped DT over the mixture axis.  scores: (M_mix, H, W); defw:
-    (M_mix, 4); anchors: (M_mix, 2)."""
-    return jax.vmap(
-        lambda s, w, a: distance_transform(s, w, a, compose)
-    )(scores, defw, anchors)
+def dt_mixtures_raw(scores: jnp.ndarray, defw: jnp.ndarray,
+                    anchors: jnp.ndarray):
+    """vmapped raw DT over the mixture axis.  scores: (M_mix, H, W)."""
+    return jax.vmap(distance_transform_raw)(scores, defw, anchors)

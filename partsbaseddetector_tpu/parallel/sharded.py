@@ -1,0 +1,98 @@
+"""Sharded batch detection over a (data, filter) mesh.
+
+Image batches shard over ``data``; the packed filter bank shards its
+output-channel axis over ``filter``, so the stage-2 conv (the FLOPs
+bulk, reference analog src/SpatialConvolutionEngine.cpp:106-124) runs
+model-parallel, and XLA's SPMD partitioner inserts the all-gather of
+responses feeding the DP (whose gather by filter id needs the full F
+axis).  Candidates come back per-image with deterministic top-K order —
+the multi-chip replacement for the reference's OpenMP-critical
+push_back (src/DynamicProgram.cpp:246-251).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from partsbaseddetector_tpu.infer.detector import _detect_program
+from partsbaseddetector_tpu.infer.pyramid_plan import make_plan
+from partsbaseddetector_tpu.models.part_tree import pack_model
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.ops.argmax import Candidates
+
+
+class BatchDetector:
+    """Batched, mesh-sharded detector.
+
+    >>> mesh = make_mesh((4, 2))
+    >>> bdet = BatchDetector(model, mesh)
+    >>> cands = bdet.detect_batch(images)   # (B, H, W, 3), B % data == 0
+    """
+
+    def __init__(self, model: PartsModel, mesh: Mesh,
+                 k_per_level: int = 64, compose: str = "reference"):
+        self.model = model
+        self.mesh = mesh
+        self.k_per_level = int(k_per_level)
+        self.compose = compose
+        self.packed = pack_model(model)
+        # pad the filter bank's output-channel axis to the filter-axis
+        # size (padded filters are all-zero and never referenced by any
+        # filterid), then shard it
+        nfilt_axis = mesh.shape["filter"]
+        F = self.packed.bank.shape[3]
+        pad = (-F) % nfilt_axis
+        bank = self.packed.bank
+        if pad:
+            bank = jax.numpy.pad(bank, ((0, 0),) * 3 + ((0, pad),))
+        bank_spec = P(None, None, None, "filter")
+        self.packed = self.packed.__class__(
+            bank=jax.device_put(bank, NamedSharding(mesh, bank_spec)),
+            components=jax.device_put(
+                self.packed.components, NamedSharding(mesh, P())),
+            thresh=jax.device_put(
+                self.packed.thresh, NamedSharding(mesh, P())),
+            interval=self.packed.interval, binsize=self.packed.binsize,
+            norient=self.packed.norient, flen=self.packed.flen,
+            name=self.packed.name,
+            parent_static=self.packed.parent_static)
+        self._compiled = {}
+
+    def _get_fn(self, imshape: Tuple[int, ...]):
+        key = tuple(imshape)
+        if key not in self._compiled:
+            plan = make_plan(imshape[1:3], self.model.binsize,
+                             self.model.interval)
+
+            def batch_program(images, packed):
+                return jax.vmap(
+                    lambda im: _detect_program(
+                        im, packed, plan=plan,
+                        k_per_level=self.k_per_level,
+                        compose=self.compose))(images)
+
+            img_sharding = NamedSharding(
+                self.mesh, P("data", None, None))
+            out_sharding = NamedSharding(self.mesh, P("data"))
+            fn = jax.jit(batch_program,
+                         in_shardings=(img_sharding, None),
+                         out_shardings=out_sharding)
+            self._compiled[key] = fn
+        return self._compiled[key]
+
+    def detect_batch(self, images) -> Candidates:
+        """images: (B, H, W[, 3]); B must divide evenly over the data
+        axis.  Returns Candidates with leading batch axis (B, ...)."""
+        images = jax.numpy.asarray(images, jax.numpy.float32)
+        ndata = self.mesh.shape["data"]
+        if images.shape[0] % ndata:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by data axis "
+                f"{ndata}")
+        fn = self._get_fn(images.shape)
+        return fn(images, self.packed)

@@ -1,0 +1,97 @@
+"""Demo CLI — the reference's demo executable
+(reference: src/demo.cpp:55-118):
+
+    python -m partsbaseddetector_tpu.tools.demo MODEL IMAGE [DEPTH]
+        [--out overlay.png] [--nms OVERLAP] [--max-candidates N]
+
+Loads a model by extension (.xml/.yml/.mat/.npz — reference:
+src/demo.cpp:63-77), runs detection, sorts candidates, applies the
+paint NMS, prints results, and optionally writes the overlay image.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_depth(path: str) -> np.ndarray:
+    """16-bit depth in millimeters -> meters
+    (reference: src/demo.cpp:95-99)."""
+    from PIL import Image
+    d = np.asarray(Image.open(path)).astype(np.float32)
+    return d / 1000.0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="mixtures-of-parts detector demo")
+    ap.add_argument("model")
+    ap.add_argument("image")
+    ap.add_argument("depth", nargs="?", default=None)
+    ap.add_argument("--out", default=None, help="overlay output path")
+    ap.add_argument("--nms", type=float, default=None,
+                    help="paint-NMS overlap; omit to skip NMS")
+    ap.add_argument("--max-candidates", type=int, default=20)
+    ap.add_argument("--k-per-level", type=int, default=64)
+    ap.add_argument("--platform", default=None,
+                    help="cpu | tpu (default: $PBD_PLATFORM or image default)")
+    args = ap.parse_args(argv)
+
+    from partsbaseddetector_tpu.utils.platform import ensure_platform
+    ensure_platform(args.platform)
+
+    from partsbaseddetector_tpu.models import load_any
+    from partsbaseddetector_tpu.infer.detector import Detector
+
+    model = load_any(args.model)
+    print(f"model: {model.name} ({model.ncomponents} component(s), "
+          f"{model.components[0].nparts} parts, "
+          f"{model.nfilters} filters)")
+    im = load_image(args.image)
+    depth = load_depth(args.depth) if args.depth else None
+
+    det = Detector(model, k_per_level=args.k_per_level)
+    t0 = time.time()
+    cands = det.detect_raw(im)
+    if args.nms is not None:
+        from partsbaseddetector_tpu.ops.nms import paint_nms
+        cands = paint_nms(cands, im.shape[:2], args.nms)
+    detections = det.candidates_to_detections(cands)
+    dt = time.time() - t0
+    print(f"detection took {dt:.3f}s (first call includes compile)")
+    print(f"{len(detections)} candidates above threshold "
+          f"{model.thresh:.3f}")
+    for d in detections[:args.max_candidates]:
+        bb = d.bounding_box()
+        print(f"  score={d.score:+.4f} comp={d.component} "
+              f"level={d.level} bbox=({bb[0]:.0f},{bb[1]:.0f})-"
+              f"({bb[2]:.0f},{bb[3]:.0f})")
+
+    if depth is not None:
+        from partsbaseddetector_tpu.post.depth import \
+            filter_candidates_by_depth
+        kept = filter_candidates_by_depth(model, detections, depth)
+        print(f"depth consistency kept {len(kept)}/{len(detections)}")
+        detections = kept
+
+    if args.out:
+        from partsbaseddetector_tpu.utils.viz import (draw_detections,
+                                                      save_image)
+        overlay = draw_detections(im, detections,
+                                  max_candidates=args.max_candidates)
+        save_image(args.out, overlay)
+        print(f"overlay written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -168,17 +168,20 @@ def test_dp_rootv_matches_oracle(compose):
     packed = pack_model(model)
     pdfs_jax = jnp.stack([jnp.asarray(p, jnp.float32) for p in pdfs],
                          axis=-1)
+    from partsbaseddetector_tpu.ops.dp import composed_tables
     res = dp_min(pdfs_jax, packed.components[0], compose)
     rootv, rooti, Ix, Iy, Ik = oracle.dp_min(model, 0, pdfs, compose)
     np.testing.assert_allclose(np.asarray(res.rootv), rootv, atol=2e-4)
     assert (np.asarray(res.rooti) == rooti).mean() > 0.99
+    jIx, jIy, jIk = (np.asarray(t) for t in composed_tables(
+        res, packed.components[0], compose))
     for p in range(1, model.components[0].nparts):
         pm = model.components[0].parts[
             model.components[0].parts[p].parentid].nmixtures
         for mp in range(pm):
-            assert (np.asarray(res.Ix[p, mp]) == Ix[p][mp]).mean() > 0.98
-            assert (np.asarray(res.Iy[p, mp]) == Iy[p][mp]).mean() > 0.98
-            assert (np.asarray(res.Ik[p, mp]) == Ik[p][mp]).mean() > 0.98
+            assert (jIx[p, mp] == Ix[p][mp]).mean() > 0.98
+            assert (jIy[p, mp] == Iy[p][mp]).mean() > 0.98
+            assert (jIk[p, mp] == Ik[p][mp]).mean() > 0.98
 
 
 def test_backtrack_matches_oracle():
