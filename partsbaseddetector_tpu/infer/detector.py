@@ -59,7 +59,8 @@ class Detection:
 
 def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     plan: PyramidPlan, k_per_level: int,
-                    compose: str) -> argmax_ops.Candidates:
+                    compose: str,
+                    dt_impl: str = "xla") -> argmax_ops.Candidates:
     """The full jitted detection program for one image."""
     binsize = plan.binsize
     norient = packed.norient
@@ -108,7 +109,7 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                              jnp.float32)
         # ---- stages 3-4 per component
         for c, comp in enumerate(packed.components):
-            res = dp_min_levels(pdfs, comp, compose)
+            res = dp_min_levels(pdfs, comp, compose, dt_impl)
             cands = argmax_ops.backtrack_levels(
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales, k_per_level, true_sizes=tsizes,
@@ -128,11 +129,16 @@ class Detector:
     """
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
-                 compose: str = "reference"):
+                 compose: str = "reference", dt_impl: str = "auto"):
         self.model = model
         self.packed = pack_model(model)
         self.k_per_level = int(k_per_level)
         self.compose = compose
+        if dt_impl == "auto":
+            # the max-only forward scan is XLA-optimal on every platform
+            # (the pallas kernel exists for the full-table DT path)
+            dt_impl = "xla"
+        self.dt_impl = dt_impl
         self._compiled: Dict[Tuple[int, int], object] = {}
 
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
@@ -144,7 +150,8 @@ class Detector:
             plan = self.plan_for(imshape)
             fn = jax.jit(partial(_detect_program, plan=plan,
                                  k_per_level=self.k_per_level,
-                                 compose=self.compose))
+                                 compose=self.compose,
+                                 dt_impl=self.dt_impl))
             self._compiled[key] = (fn, plan)
         return self._compiled[key]
 

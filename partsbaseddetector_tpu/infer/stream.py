@@ -1,0 +1,144 @@
+"""Streaming RGB-D detection pipeline.
+
+The transport-agnostic equivalent of the reference's ROS node
+(reference: ros/Node.cpp:46-250) and ECTO/ORK cell
+(reference: cells/detect.cpp:74-355): a per-frame pipeline that runs
+
+    detect -> sort -> paint NMS (overlap 0.1, ros/Node.cpp:192-196)
+    -> 3-D bounding boxes + part centers (ros/Node.cpp:210-212)
+    -> [optional] plane removal + Euclidean clustering
+       (ros/Node.cpp:218-229)
+    -> result messages (overlay image, instance mask, 3-D boxes,
+       clusters, part-center clouds, PCA poses — ros/Messages.cpp)
+
+and delivers them to registered sinks (callbacks), the library analog of
+ROS publishers gated on subscriber count (ros/Node.cpp:205-249): a
+message is only materialized if a sink is attached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from partsbaseddetector_tpu.infer.detector import Detection, Detector
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.post.cloud import (cluster_objects,
+                                               compute_bounding_boxes,
+                                               organized_multiplane_segmentation)
+from partsbaseddetector_tpu.post.depth import CameraModel
+from partsbaseddetector_tpu.post.poses import poses_from_part_centers
+from partsbaseddetector_tpu.post.rect3 import Rect3
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """Everything the reference node publishes for one frame."""
+
+    detections: List[Detection]
+    overlay: Optional[np.ndarray] = None          # RGB uint8
+    mask: Optional[np.ndarray] = None             # uint8 instance mask
+    boxes3d: Optional[List[Rect3]] = None
+    part_centers: Optional[List[np.ndarray]] = None
+    clusters: Optional[List[np.ndarray]] = None
+    cluster_centers: Optional[List[np.ndarray]] = None
+    poses: Optional[List] = None
+
+
+def detections_mask(imsize, detections: List[Detection]) -> np.ndarray:
+    """Instance mask: nonzero value n+1 under the n-th detection's
+    covering box (reference: include/Candidate.hpp:320-331)."""
+    H, W = imsize
+    mask = np.zeros((H, W), np.uint8)
+    for n, det in enumerate(detections):
+        bb = det.bounding_box()
+        x1, y1 = int(np.clip(bb[0], 0, W)), int(np.clip(bb[1], 0, H))
+        x2, y2 = int(np.clip(bb[2], 0, W)), int(np.clip(bb[3], 0, H))
+        region = mask[y1:y2, x1:x2]
+        region[region == 0] = n + 1
+    return mask
+
+
+class StreamingDetector:
+    """Frame-loop pipeline with attachable sinks.
+
+    >>> sd = StreamingDetector(model, camera=CameraModel(...),
+    ...                        remove_planes=False)
+    >>> sd.on("overlay", lambda img: display(img))
+    >>> result = sd.process(rgb, depth, cloud)
+    """
+
+    SINKS = ("detections", "overlay", "mask", "boxes3d", "clusters",
+             "part_centers", "poses")
+
+    def __init__(self, model: PartsModel,
+                 camera: Optional[CameraModel] = None,
+                 max_overlap: float = 0.1,
+                 remove_planes: bool = False,
+                 k_per_level: int = 64,
+                 max_candidates: Optional[int] = 32):
+        self.detector = Detector(model, k_per_level=k_per_level)
+        self.model = model
+        self.camera = camera
+        self.max_overlap = float(max_overlap)
+        self.remove_planes = bool(remove_planes)
+        self.max_candidates = max_candidates
+        self._sinks: Dict[str, List[Callable]] = {s: []
+                                                  for s in self.SINKS}
+
+    def on(self, sink: str, fn: Callable) -> None:
+        if sink not in self._sinks:
+            raise ValueError(f"unknown sink {sink!r}; "
+                             f"one of {self.SINKS}")
+        self._sinks[sink].append(fn)
+
+    def _wants(self, sink: str) -> bool:
+        return bool(self._sinks[sink])
+
+    def _emit(self, sink: str, value) -> None:
+        for fn in self._sinks[sink]:
+            fn(value)
+
+    def process(self, rgb: np.ndarray,
+                depth: Optional[np.ndarray] = None,
+                cloud: Optional[np.ndarray] = None) -> FrameResult:
+        """Run one frame.  rgb: (H, W, 3); depth: (h, w) meters; cloud:
+        (H, W, 3) organized or (N, 3) unorganized camera-frame points."""
+        from partsbaseddetector_tpu.ops.nms import paint_nms
+
+        cands = self.detector.detect_raw(rgb)
+        cands = paint_nms(cands, rgb.shape[:2], self.max_overlap)
+        detections = self.detector.candidates_to_detections(
+            cands, self.max_candidates)
+        res = FrameResult(detections=detections)
+        self._emit("detections", detections)
+
+        if self._wants("overlay"):
+            from partsbaseddetector_tpu.utils.viz import draw_detections
+            res.overlay = draw_detections(rgb, detections)
+            self._emit("overlay", res.overlay)
+        if self._wants("mask"):
+            res.mask = detections_mask(rgb.shape[:2], detections)
+            self._emit("mask", res.mask)
+
+        needs_3d = (self._wants("boxes3d") or self._wants("clusters")
+                    or self._wants("part_centers")
+                    or self._wants("poses"))
+        if needs_3d and depth is not None and self.camera is not None:
+            res.boxes3d, res.part_centers = compute_bounding_boxes(
+                detections, rgb.shape[:2], depth, self.camera)
+            self._emit("boxes3d", res.boxes3d)
+            self._emit("part_centers", res.part_centers)
+            if self._wants("clusters") and cloud is not None:
+                pts = cloud.reshape(-1, 3) if cloud.ndim == 3 else cloud
+                if self.remove_planes and cloud.ndim == 3:
+                    pts = organized_multiplane_segmentation(cloud)
+                res.clusters, res.cluster_centers = cluster_objects(
+                    pts, res.boxes3d)
+                self._emit("clusters", res.clusters)
+            if self._wants("poses"):
+                res.poses = poses_from_part_centers(res.part_centers)
+                self._emit("poses", res.poses)
+        return res

@@ -73,7 +73,7 @@ def backtrack(res: DPResult, comp: PackedComponent,
     xs = (topi % W).astype(jnp.int32)
     valid = topv > thresh
 
-    from partsbaseddetector_tpu.ops.dp import walk_step
+    from partsbaseddetector_tpu.ops.dp import walk_children
     xv = [None] * P
     yv = [None] * P
     mv = [None] * P
@@ -81,10 +81,10 @@ def backtrack(res: DPResult, comp: PackedComponent,
     mv[0] = res.rooti[ys, xs]
     for p in range(1, P):
         par = int(parent_static[p])
-        # two packed K-element gathers per part (incl. the deferred DT
-        # argmin composition — see ops/dp.py docstring)
-        xv[p], yv[p], mv[p] = walk_step(
-            res, p, mv[par], yv[par], xv[par], compose)
+        # K-point argmax recomputation per part (see ops/dp.py): the
+        # argmax tables the reference stores are never materialized
+        xv[p], yv[p], mv[p] = walk_children(
+            res, comp, p, mv[par], yv[par], xv[par], compose)
 
     X = jnp.stack(xv, axis=1)    # (K, P)
     Y = jnp.stack(yv, axis=1)

@@ -9,33 +9,34 @@ the reverse scan visits children before parents, exactly like the
 reference's ``for (p = nparts-1; p > 0; --p)``
 (reference: src/DynamicProgram.cpp:95).
 
-Per step: distance-transform all mixtures of the part, add the child->
-parent mixture-pair bias table, max-reduce over child mixtures (the
-reference's Math::reduceMax + reducePickIndex, include/Math.hpp:108-185),
-and scatter-add the result into the parent's accumulated score.
-
 TPU-shaped design decisions (vs a naive translation):
+
   * scores are keyed by part slot (P, M, H, W) rather than by filter id
     (the reference's ncscores, src/DynamicProgram.cpp:93-155) —
     equivalent for models without filter aliasing, asserted at pack time;
-  * NO per-element (H, W) gathers anywhere: mixture selection uses
-    one-hot sums over the tiny mixture axis, and the DT argmin
-    composition (an (H, W) gather in the reference,
-    include/DistanceTransform.hpp:233-244) is deferred to backtracking
-    where it touches only K candidates (ops/argmax.py);
-  * backtrack state is bit-packed into int32 tables so the per-part walk
-    is one gather (plus one for the deferred compose).
 
-Packed tables:
-  bt1[p, m_parent, y, x] = primary-axis child coord (bits 0..11)
-                           | winning child mixture (bits 24..30)
-  bt2[p, m_child, y, x]  = secondary-axis pass argmax (bits 0..11)
+  * the forward scan computes ONLY max-reductions — no argmax anywhere.
+    The reference materializes full Ix/Iy/Ik argmax tables during the
+    forward pass (src/DynamicProgram.cpp:110-151); on TPU those argmax
+    sweeps double the distance-transform cost and the (H, W)-sized
+    tables are touched at only K candidate points during backtracking.
+    Instead the scan emits its two max fields:
+      scores[p] — each part's fully-accumulated DT input (the scan
+                  carry: a part's score never changes once visited,
+                  because all its children precede it in the scan), and
+      tmp[p]    — the x-pass row maxima,
+    and backtracking RECOMPUTES the argmaxes at the K visited positions
+    (O(H + N) work per candidate-part instead of O(H*W) stored —
+    ops/argmax.py via walk_children below);
 
-With compose="reference", primary = x (row-pass Ix), secondary = the
-column-pass Iy, and the composed child y is bt2[p, mc, y, x_child]
-read at the *composed x* — reproducing Iy[m][n] = IyCol[m][Ix[m][n]]
-(and the row-pass table being indexed by parent y, the reference's
-quirk).  With compose="correct", primary = y and secondary = x.
+  * mixture reduction masks padded mixture slots with NEG biases so they
+    can never win (the reference's reduceMax over live mixtures,
+    include/Math.hpp:148-185).
+
+The DT argmin composition quirk (reference: include/DistanceTransform.
+hpp:233-244 — the row-pass table is indexed by parent y and Iy is
+gathered through Ix) is reproduced exactly by the recomputation order in
+walk_children ("reference" mode) or fixed ("correct" mode).
 """
 
 from __future__ import annotations
@@ -48,31 +49,20 @@ import jax.numpy as jnp
 
 from partsbaseddetector_tpu.models.part_tree import PackedComponent
 from partsbaseddetector_tpu.ops.common import NEG
-from partsbaseddetector_tpu.ops.dt import dt_mixtures_raw
+from partsbaseddetector_tpu.ops.dt import dt_max_1d_last
 
 
 class DPResult(NamedTuple):
-    rootv: jnp.ndarray   # (H, W) root score map (bias added, maxed)
-    rooti: jnp.ndarray   # (H, W) int32 best root mixture
-    bt1: jnp.ndarray     # (P, M, H, W) int32, see module docstring
-    bt2: jnp.ndarray     # (P, M, H, W) int32
+    rootv: jnp.ndarray    # (H, W) root score map (bias added, maxed)
+    rooti: jnp.ndarray    # (H, W) int32 best root mixture
+    scores: jnp.ndarray   # (P, M, H, W) accumulated DT inputs per part
+    tmp: jnp.ndarray      # (P, M, H, W) x-pass maxima (rows = child y)
 
 
-def _onehot_select_int(values: jnp.ndarray, idx: jnp.ndarray
-                       ) -> jnp.ndarray:
-    """out[mp, ...] = values[idx[mp, ...], ...] via one-hot sum over the
-    (tiny) leading mixture axis — avoids TPU per-element gathers.
-    values: (Mc, H, W) int32; idx: (Mp, H, W) int32."""
-    M = values.shape[0]
-    acc = jnp.zeros_like(idx)
-    for mc in range(M):
-        acc = acc + jnp.where(idx == mc, values[mc], 0)
-    return acc
-
-
-@partial(jax.jit, static_argnames=("compose",))
+@partial(jax.jit, static_argnames=("compose", "dt_impl"))
 def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
-           compose: str = "reference") -> DPResult:
+           compose: str = "reference",
+           dt_impl: str = "xla") -> DPResult:
     """Run the DP for one component on one response map.
 
     pdfs: (H, W, F) filter responses for ALL model filters (the output of
@@ -81,6 +71,10 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     """
     if compose not in ("reference", "correct"):
         raise ValueError(compose)
+    if dt_impl not in ("xla",):
+        raise ValueError(f"dt_impl {dt_impl!r} (the forward scan is "
+                         "max-only; the pallas kernel applies to the "
+                         "full-table path)")
     P, M = comp.filterid.shape
     H, W = pdfs.shape[:2]
     assert H < 4096 and W < 4096 and M < 128, (H, W, M)
@@ -89,39 +83,32 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     # invalid mixture slots must never win any max
     scores0 = jnp.where(comp.mix_valid[..., None, None], scores0, NEG)
 
-    mixid = jnp.arange(M, dtype=jnp.int32)[:, None, None]
-
     def step(scores, p):
         s = scores[p]                                  # (M, H, W)
-        sdt, ix_row, iy_col = dt_mixtures_raw(
-            s, comp.defw[p], comp.anchor[p])
-        # bias[p] is (child_m, parent_m); weighted: (Mp, Mc, H, W)
+        w = comp.defw[p]                               # (M, 4)
+        anc = comp.anchor[p]                           # (M, 2)
+        # x pass along rows (last axis), vmapped over mixtures
+        tmp = jax.vmap(lambda sm, wm, am: dt_max_1d_last(
+            sm, wm[0], wm[1], am[0]))(s, w, anc)       # (M, H, W)
+        # y pass along columns
+        sdt_t = jax.vmap(lambda tm, wm, am: dt_max_1d_last(
+            tm.T, wm[2], wm[3], am[1]))(tmp, w, anc)   # (M, W, H)
+        sdt = jnp.swapaxes(sdt_t, 1, 2)
+        # child->parent mixture-pair bias, max over child mixtures
         weighted = sdt[None, :, :, :] + \
-            comp.bias[p].T[:, :, None, None]
-        ik = jnp.argmax(weighted, axis=1).astype(jnp.int32)  # (Mp, H, W)
+            comp.bias[p].T[:, :, None, None]           # (Mp, Mc, H, W)
         maxv = jnp.max(weighted, axis=1)
-        if compose == "reference":
-            primary, secondary = ix_row, iy_col
-        else:
-            primary, secondary = iy_col, ix_row
-        packed1 = primary | (jnp.broadcast_to(
-            mixid, (M, H, W)) << 24)                   # (Mc, H, W)
-        bt1 = _onehot_select_int(packed1, ik)          # (Mp, H, W)
         scores = scores.at[comp.parent[p]].add(maxv)
-        return scores, (bt1, secondary)
+        return scores, tmp
 
     parts_rev = jnp.arange(P - 1, 0, -1)
-    scores, (bt1s, bt2s) = jax.lax.scan(step, scores0, parts_rev)
+    scores, tmps = jax.lax.scan(step, scores0, parts_rev)
 
-    # reorder scan outputs (visited P-1..1) into part-index order with a
-    # zero row for the root
-    def to_tables(x):
-        x = jnp.flip(x, axis=0)
-        return jnp.concatenate(
-            [jnp.zeros((1,) + x.shape[1:], x.dtype), x], axis=0)
-
-    bt1 = to_tables(bt1s)
-    bt2 = to_tables(bt2s)
+    # scan outputs visited P-1..1 -> part-index order with a zero row for
+    # the root (whose tmp is never read)
+    tmps = jnp.flip(tmps, axis=0)
+    tmp = jnp.concatenate(
+        [jnp.zeros((1,) + tmps.shape[1:], tmps.dtype), tmps], axis=0)
 
     # root: add the scalar root bias to every root mixture and max
     # (reference: src/DynamicProgram.cpp:162-171)
@@ -129,30 +116,85 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     rootw = jnp.where(comp.mix_valid[0][:, None, None], rootw, NEG)
     rooti = jnp.argmax(rootw, axis=0).astype(jnp.int32)
     rootv = jnp.max(rootw, axis=0)
-    return DPResult(rootv, rooti, bt1, bt2)
+    return DPResult(rootv, rooti, scores, tmp)
 
 
 def dp_min_levels(pdfs: jnp.ndarray, comp: PackedComponent,
-                  compose: str = "reference") -> DPResult:
+                  compose: str = "reference",
+                  dt_impl: str = "xla") -> DPResult:
     """vmap of dp_min over a leading levels axis: pdfs (L, H, W, F)."""
-    return jax.vmap(lambda x: dp_min(x, comp, compose))(pdfs)
+    return jax.vmap(lambda x: dp_min(x, comp, compose, dt_impl))(pdfs)
 
 
-def walk_step(res: DPResult, p: int, mp, py, px, compose: str):
-    """One backtracking step: child (x, y, mixture) of part p given the
-    parent's (mixture, y, x) — performs the deferred argmin composition
-    (reference: include/DistanceTransform.hpp:233-244 +
-    src/DynamicProgram.cpp:219-235).  All index args are equal-shaped
-    int32 arrays."""
-    b1 = res.bt1[p, mp, py, px]
-    prim = b1 & 0xFFF
-    mc = (b1 >> 24) & 0x7F
+# ---------------------------------------------------------------------
+# candidate-position argmax recomputation (used by ops/argmax.py)
+# ---------------------------------------------------------------------
+
+def _argmax_first(vals: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """First-index argmax (ties -> smallest index, like numpy and the
+    envelope read-out)."""
+    return jnp.argmax(vals, axis=axis).astype(jnp.int32)
+
+
+def _dt_vals_at(line: jnp.ndarray, w2, w3, pos, off):
+    """max/argmax over the last axis of line[c] - w2*d^2 - w3*d with
+    d = pos + off - c.  line: (..., N); w2/w3/pos/off: shape
+    line.shape[:-1] (or broadcastable).  Returns (max, argmax)."""
+    n = line.shape[-1]
+    c = jnp.arange(n, dtype=jnp.float32)
+    d = (pos + off)[..., None] - c
+    w2b = jnp.asarray(w2, jnp.float32)[..., None]
+    w3b = jnp.asarray(w3, jnp.float32)[..., None]
+    vals = line + (-w2b) * d * d + (-w3b) * d
+    return jnp.max(vals, -1), _argmax_first(vals, -1)
+
+
+def walk_children(res: DPResult, comp: PackedComponent, p: int,
+                  mp, py, px, compose: str):
+    """Backtracking step for part p: child (x, y, mixture) given the
+    parent's (mixture mp, y, x) for a batch of K candidates.
+
+    Recomputes, at the K positions only, the argmaxes the reference
+    stored as full tables (src/DynamicProgram.cpp:110-151 +
+    include/DistanceTransform.hpp:233-244):
+      mc  = argmax over child mixtures of sdt(mc, py, px) + bias;
+      then the two 1-D DT argmaxes in the composition order of the
+      selected mode ("reference": x from the accumulated-score row at
+      parent y — reproducing the quirk that the row-pass table is read
+      with parent-y rows — then y from the x-pass column at the
+      composed x; "correct": y first from the column at px, then x
+      from the row at that y).
+
+    mp/py/px: (K,) int32; returns ((K,) x, y, mc).
+    """
+    w = comp.defw[p]                        # (M, 4)
+    anc = comp.anchor[p].astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    pxf = px.astype(jnp.float32)
+
+    # -- winning child mixture: sdt(mc, py, px) for all mc
+    # tmp[p]: (M, H, W); column at px: (M, H, K) -> (M, K, H)
+    line = jnp.moveaxis(res.tmp[p][:, :, px], 1, -1)
+    sdt_at, _ = _dt_vals_at(
+        line, w[:, 2][:, None], w[:, 3][:, None],
+        pyf[None, :], anc[:, 1][:, None])             # (M, K)
+    weighted = sdt_at + comp.bias[p][:, mp]           # (M, K)
+    mc = _argmax_first(weighted, 0)                   # (K,)
+
     if compose == "reference":
-        x = prim
-        y = res.bt2[p, mc, py, x] & 0xFFF
+        # x from the accumulated-score row at parent y
+        row = res.scores[p][mc, py, :]                # (K, W)
+        _, x = _dt_vals_at(row, w[mc, 0], w[mc, 1], pxf, anc[mc, 0])
+        # y from the x-pass column at the composed x
+        col = res.tmp[p][mc, :, x]                    # (K, H)
+        _, y = _dt_vals_at(col, w[mc, 2], w[mc, 3], pyf, anc[mc, 1])
     else:
-        y = prim
-        x = res.bt2[p, mc, y, px] & 0xFFF
+        # y from the x-pass column at px
+        col = res.tmp[p][mc, :, px]                   # (K, H)
+        _, y = _dt_vals_at(col, w[mc, 2], w[mc, 3], pyf, anc[mc, 1])
+        # x from the accumulated-score row at that y
+        row = res.scores[p][mc, y, :]                 # (K, W)
+        _, x = _dt_vals_at(row, w[mc, 0], w[mc, 1], pxf, anc[mc, 0])
     return x, y, mc
 
 
@@ -160,17 +202,18 @@ def composed_tables(res: DPResult, comp: PackedComponent,
                     compose: str = "reference"):
     """Materialize full (P, M, H, W) Ix/Iy/Ik tables (test/debug helper —
     the production path never builds these)."""
-    P, M, H, W = res.bt1.shape
-    yy = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W)).astype(jnp.int32)
-    xx = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W)).astype(jnp.int32)
+    P, M = comp.filterid.shape
+    H, W = res.rootv.shape
+    yy = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    xx = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
     Ix = jnp.zeros((P, M, H, W), jnp.int32)
     Iy = jnp.zeros((P, M, H, W), jnp.int32)
     Ik = jnp.zeros((P, M, H, W), jnp.int32)
     for p in range(1, P):
         for m in range(M):
-            mp = jnp.full((H, W), m, jnp.int32)
-            x, y, mc = walk_step(res, p, mp, yy, xx, compose)
-            Ix = Ix.at[p, m].set(x)
-            Iy = Iy.at[p, m].set(y)
-            Ik = Ik.at[p, m].set(mc)
+            mp = jnp.full_like(yy, m)
+            x, y, mcv = walk_children(res, comp, p, mp, yy, xx, compose)
+            Ix = Ix.at[p, m].set(x.reshape(H, W))
+            Iy = Iy.at[p, m].set(y.reshape(H, W))
+            Ik = Ik.at[p, m].set(mcv.reshape(H, W))
     return Ix, Iy, Ik

@@ -43,6 +43,17 @@ def _penalty_matrix(n: int, a, b, offset, dtype=DEFAULT_DTYPE):
     return -jnp.asarray(a, dtype) * d * d - jnp.asarray(b, dtype) * d
 
 
+def dt_max_1d_last(src: jnp.ndarray, w0, w1, offset):
+    """Max-only 1-D DT pass along the last axis (no argmax — the DP
+    forward scan stores only maxima; argmaxes are recomputed per
+    candidate in ops/dp.walk_children).
+
+    dst[.., q] = max_x src[.., x] - w0 d^2 - w1 d, d = q + offset - x."""
+    n = src.shape[-1]
+    pen = _penalty_matrix(n, w0, w1, offset, src.dtype)
+    return jnp.max(src[..., None, :] + pen, axis=-1)
+
+
 def _pass_1d(src: jnp.ndarray, a, b, offset):
     """One 1-D max-transform pass along the last axis.
     src: (..., R, N).  Returns (dst, argmax) each (..., R, N) where

@@ -1,0 +1,140 @@
+"""Post-processing tests: Rect3, depth pruning, point-cloud clustering."""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu.post.rect3 import Rect3
+from partsbaseddetector_tpu.post import cloud as cloud_mod
+from partsbaseddetector_tpu.post.depth import (CameraModel,
+                                               filter_candidates_by_depth)
+from partsbaseddetector_tpu.infer.detector import Detection
+
+
+def _mk_detection(boxes, score=1.0):
+    boxes = np.asarray(boxes, float)
+    return Detection(score=score, component=0, level=0, parts=boxes,
+                     locations=np.zeros((len(boxes), 3), np.int64))
+
+
+# ------------------------------------------------------------------ rect3
+
+def test_rect3_basics():
+    r = Rect3(1, 2, 3, 4, 5, 6)
+    assert r.volume() == 120
+    np.testing.assert_array_equal(r.br(), [5, 7, 9])
+    assert r.contains([2, 3, 4])
+    assert not r.contains([5, 7, 9])
+    np.testing.assert_allclose(r.centroid(), [3, 4.5, 6])
+
+
+def test_rect3_hull_intersection():
+    a = Rect3(0, 0, 0, 2, 2, 2)
+    b = Rect3(1, 1, 1, 3, 3, 3)
+    h = Rect3.convex_hull(a, b)
+    np.testing.assert_array_equal(h.tl(), [0, 0, 0])
+    np.testing.assert_array_equal(h.br(), [4, 4, 4])
+    i = Rect3.intersection(a, b)
+    np.testing.assert_array_equal(i.tl(), [1, 1, 1])
+    np.testing.assert_array_equal(i.br(), [2, 2, 2])
+    disjoint = Rect3.intersection(a, Rect3(5, 5, 5, 1, 1, 1))
+    assert disjoint.volume() == 0
+
+
+def test_rect3_expand():
+    r = Rect3(0, 0, 0, 10, 10, 10).expand(1.2)
+    np.testing.assert_allclose(r.tl(), [-1, -1, -1])
+    np.testing.assert_allclose(r.br(), [11, 11, 11])
+
+
+# ------------------------------------------------------------ depth prune
+
+def test_depth_consistency_filter():
+    from partsbaseddetector_tpu.models import synthetic
+    model = synthetic.tiny(seed=0)
+    P = model.components[0].nparts
+    depth_flat = np.full((60, 60), 2.0, np.float32)
+    depth_broken = depth_flat.copy()
+    depth_broken[:, 30:] = 8.0   # child parts land in a far region
+
+    boxes = np.array([[5 + 12 * p, 5, 14 + 12 * p, 14]
+                      for p in range(P)], float)
+    det = _mk_detection(boxes)
+    kept_flat = filter_candidates_by_depth(model, [det], depth_flat)
+    assert len(kept_flat) == 1
+    kept_broken = filter_candidates_by_depth(model, [det], depth_broken)
+    assert len(kept_broken) == 0
+
+
+# ------------------------------------------------------------- clustering
+
+def test_euclidean_clusters_separated():
+    rng = np.random.default_rng(0)
+    a = rng.normal([0, 0, 0], 0.002, (50, 3))
+    b = rng.normal([1, 0, 0], 0.002, (40, 3))
+    cls = cloud_mod.euclidean_clusters(np.vstack([a, b]), 0.01)
+    sizes = sorted(len(c) for c in cls)
+    assert sizes == [40, 50]
+
+
+def test_cluster_objects_picks_biggest():
+    rng = np.random.default_rng(1)
+    obj = rng.normal([0.5, 0.5, 1.0], 0.01, (200, 3))
+    clutter = rng.normal([0.8, 0.5, 1.0], 0.005, (30, 3))
+    far = rng.normal([5, 5, 5], 0.01, (300, 3))
+    cloud = np.vstack([obj, clutter, far])
+    box = Rect3(0.3, 0.3, 0.8, 0.6, 0.4, 0.4)
+    clusters, centers = cloud_mod.cluster_objects(cloud, [box])
+    assert len(clusters) == 1
+    assert len(clusters[0]) == 200
+    np.testing.assert_allclose(centers[0], [0.5, 0.5, 1.0], atol=0.01)
+
+
+def test_cluster_objects_empty_box():
+    cloud = np.random.default_rng(0).normal(0, 1, (100, 3))
+    clusters, centers = cloud_mod.cluster_objects(
+        cloud, [Rect3(0, 0, 0, 0, 0, 0)])
+    assert len(clusters[0]) == 0
+    assert np.isnan(centers[0]).all()
+
+
+def test_bounding_box_3d_flat_object():
+    depth = np.full((100, 100), 1.5, np.float32)
+    det = _mk_detection([[10, 10, 40, 40], [30, 30, 60, 60]])
+    cube = cloud_mod.bounding_box_3d(det, (100, 100), depth)
+    assert cube.is_valid()
+    assert abs(cube.z - 1.5) < 0.01
+    assert cube.depth < 0.01      # flat: tiny z extent
+
+
+def test_bounding_box_3d_no_depth():
+    depth = np.zeros((50, 50), np.float32)
+    det = _mk_detection([[10, 10, 20, 20]])
+    cube = cloud_mod.bounding_box_3d(det, (50, 50), depth)
+    assert not cube.is_valid()
+
+
+def test_compute_bounding_boxes_backprojection():
+    cam = CameraModel(fx=100, fy=100, cx=50, cy=50)
+    depth = np.full((100, 100), 2.0, np.float32)
+    det = _mk_detection([[40, 40, 60, 60]])
+    boxes3d, centers = cloud_mod.compute_bounding_boxes(
+        [det], (100, 100), depth, cam)
+    assert len(boxes3d) == 1
+    # part center at image center -> camera axis, z = 2
+    np.testing.assert_allclose(centers[0][0], [0, 0, 2.0], atol=1e-6)
+
+
+def test_multiplane_removal():
+    rng = np.random.default_rng(2)
+    H = W = 40
+    xs, ys = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H))
+    plane = np.stack([xs, ys, np.full_like(xs, 2.0)], -1)
+    plane += rng.normal(0, 0.001, plane.shape)
+    # a blob above the plane
+    blob_mask = (np.abs(xs) < 0.2) & (np.abs(ys) < 0.2)
+    plane[blob_mask, 2] = 1.5
+    rest = cloud_mod.organized_multiplane_segmentation(
+        plane, min_inliers=200)
+    # most plane points removed; blob retained
+    assert len(rest) < H * W * 0.5
+    assert (rest[:, 2] < 1.8).sum() > 0.5 * blob_mask.sum()

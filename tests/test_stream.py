@@ -1,0 +1,86 @@
+"""Streaming pipeline tests (the ROS-node/ECTO-cell equivalent)."""
+
+import numpy as np
+
+from partsbaseddetector_tpu.infer.stream import (StreamingDetector,
+                                                 detections_mask)
+from partsbaseddetector_tpu.models import synthetic
+from partsbaseddetector_tpu.post.depth import CameraModel
+from partsbaseddetector_tpu.post.poses import poses_from_part_centers
+
+
+def _setup():
+    model = synthetic.tiny(seed=7)
+    model.thresh = -1e9
+    cam = CameraModel(fx=80, fy=80, cx=48, cy=48)
+    sd = StreamingDetector(model, camera=cam, max_candidates=8)
+    rng = np.random.default_rng(3)
+    rgb = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    depth = np.full((96, 96), 2.0, np.float32)
+    xs, ys = np.meshgrid(np.arange(96), np.arange(96))
+    cloud = np.stack([(xs - 48) / 80.0 * 2.0, (ys - 48) / 80.0 * 2.0,
+                      np.full_like(xs, 2.0, dtype=float)], -1)
+    return sd, rgb, depth, cloud
+
+
+def test_stream_sinks_and_messages():
+    sd, rgb, depth, cloud = _setup()
+    got = {}
+    for sink in ("detections", "overlay", "mask", "boxes3d",
+                 "clusters", "part_centers", "poses"):
+        sd.on(sink, lambda v, s=sink: got.setdefault(s, v))
+    res = sd.process(rgb, depth, cloud)
+    assert len(res.detections) > 0
+    assert res.overlay.shape == rgb.shape and res.overlay.dtype == np.uint8
+    assert res.mask.shape == rgb.shape[:2]
+    assert res.mask.max() > 0
+    assert len(res.boxes3d) == len(res.detections)
+    assert len(res.part_centers) == len(res.detections)
+    assert set(got) == {"detections", "overlay", "mask", "boxes3d",
+                        "clusters", "part_centers", "poses"}
+    # poses exist for objects with valid centers
+    assert any(p is not None for p in res.poses)
+
+
+def test_stream_lazy_messages():
+    """Messages are only materialized when a sink is attached
+    (the reference gates publishers on subscriber count,
+    ros/Node.cpp:205-249)."""
+    sd, rgb, depth, cloud = _setup()
+    res = sd.process(rgb, depth, cloud)
+    assert res.overlay is None and res.mask is None
+    assert res.boxes3d is None and res.clusters is None
+
+
+def test_stream_rgb_only():
+    sd, rgb, depth, cloud = _setup()
+    sd.on("overlay", lambda v: None)
+    res = sd.process(rgb)     # no depth/cloud: 2-D path only
+    assert res.overlay is not None
+    assert res.boxes3d is None
+
+
+def test_detections_mask_ordering():
+    from partsbaseddetector_tpu.infer.detector import Detection
+    d1 = Detection(score=2.0, component=0, level=0,
+                   parts=np.array([[0, 0, 50, 50]], float),
+                   locations=np.zeros((1, 3), np.int64))
+    d2 = Detection(score=1.0, component=0, level=0,
+                   parts=np.array([[25, 25, 80, 80]], float),
+                   locations=np.zeros((1, 3), np.int64))
+    mask = detections_mask((100, 100), [d1, d2])
+    assert mask[10, 10] == 1
+    assert mask[70, 70] == 2
+    assert mask[30, 30] == 1   # first (best) detection wins overlap
+
+
+def test_poses_pca_orientation():
+    # points along x axis -> principal axis x; quaternion normalized
+    pts = np.array([[0, 0, 0], [1, 0.01, 0], [2, -0.01, 0],
+                    [3, 0.02, 0]], float)
+    poses = poses_from_part_centers([pts, np.zeros((0, 3))])
+    assert poses[1] is None
+    p = poses[0]
+    np.testing.assert_allclose(np.linalg.norm(p.orientation), 1.0,
+                               atol=1e-9)
+    np.testing.assert_allclose(p.position, pts.mean(0), atol=1e-12)
