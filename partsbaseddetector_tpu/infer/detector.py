@@ -56,12 +56,31 @@ class Detection:
         y2 = self.parts[:, 3].max()
         return np.array([x1, y1, x2, y2])
 
+    def bounding_box_norm(self) -> np.ndarray:
+        """mean +- 1.5 sigma box over part centroids
+        (reference: include/Candidate.hpp:117-130)."""
+        cx = (self.parts[:, 0] + self.parts[:, 2]) / 2.0
+        cy = (self.parts[:, 1] + self.parts[:, 3]) / 2.0
+        return np.array([cx.mean() - 1.5 * cx.std(),
+                         cy.mean() - 1.5 * cy.std(),
+                         cx.mean() + 1.5 * cx.std(),
+                         cy.mean() + 1.5 * cy.std()])
+
+    def resized(self, factor: float) -> "Detection":
+        """Scale all part boxes (reference: include/Candidate.hpp:82-89).
+        """
+        return dataclasses.replace(self, parts=self.parts * factor)
+
 
 def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     plan: PyramidPlan, k_per_level: int,
                     compose: str,
-                    dt_impl: str = "xla") -> argmax_ops.Candidates:
-    """The full jitted detection program for one image."""
+                    dt_impl: str = "xla",
+                    part_masks=None) -> argmax_ops.Candidates:
+    """The full jitted detection program for one image.
+
+    part_masks: optional per-bucket list of (L, P, fh, fw) bool masks of
+    allowed part placements (latent-positive search, train/latent.py)."""
     binsize = plan.binsize
     norient = packed.norient
     flen = packed.flen
@@ -108,8 +127,10 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
         scales = jnp.asarray([lvl.scale for lvl in bucket.levels],
                              jnp.float32)
         # ---- stages 3-4 per component
+        bmask = None if part_masks is None else \
+            part_masks[bucket.octave]
         for c, comp in enumerate(packed.components):
-            res = dp_min_levels(pdfs, comp, compose, dt_impl)
+            res = dp_min_levels(pdfs, comp, compose, dt_impl, bmask)
             cands = argmax_ops.backtrack_levels(
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales, k_per_level, true_sizes=tsizes,
@@ -162,12 +183,76 @@ class Detector:
         fn, _ = self._get_fn(image.shape[:2])
         return fn(image, self.packed)
 
+    def detect_masked_raw(self, image, part_masks
+                          ) -> argmax_ops.Candidates:
+        """Detection with per-part placement masks (latent-positive
+        search).  part_masks: per-bucket list of (L, P, fh, fw) bool
+        arrays (see train/features.part_overlap_masks + plan buckets)."""
+        image = jnp.asarray(image)
+        key = ("masked",) + tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = self.plan_for(image.shape[:2])
+            fn = jax.jit(partial(_detect_program, plan=plan,
+                                 k_per_level=self.k_per_level,
+                                 compose=self.compose,
+                                 dt_impl=self.dt_impl))
+            self._compiled[key] = (fn, plan)
+        fn, _ = self._compiled[key]
+        return fn(image, self.packed,
+                  part_masks=tuple(jnp.asarray(m) for m in part_masks))
+
     def detect(self, image, max_detections: Optional[int] = None
                ) -> List[Detection]:
         """Detect and return host-side Detections above the model
         threshold, sorted by score descending."""
         return self.candidates_to_detections(self.detect_raw(image),
                                              max_detections)
+
+    def update_model(self, model: PartsModel) -> None:
+        """Swap in updated weights without recompiling (the packed model
+        is a traced argument, so any same-shaped model reuses the
+        compiled programs — the trainer's inner loop relies on this)."""
+        assert model.binsize == self.model.binsize
+        assert model.interval == self.model.interval
+        self.model = model
+        self.packed = pack_model(model)
+
+    def pyramid_features(self, image) -> List[np.ndarray]:
+        """Per-level HOG feature maps (true sizes, host numpy) — used by
+        the trainer's feature write-back (train/features.py)."""
+        image = jnp.asarray(image)
+        key = ("feats",) + tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = self.plan_for(image.shape[:2])
+
+            def fn(img):
+                img = img.astype(jnp.float32)
+                out = []
+                prev_buf = prev_levels = None
+                for bucket in plan.buckets:
+                    lvl_imgs = []
+                    for j, lvl in enumerate(bucket.levels):
+                        if bucket.octave == 0:
+                            lvl_imgs.append(resize_linear(
+                                img, bucket.img_pad, lvl.imsize))
+                        else:
+                            lvl_imgs.append(pyr_down(
+                                prev_buf[j], bucket.img_pad,
+                                prev_levels[j].imsize))
+                    buf = jnp.stack(lvl_imgs)
+                    prev_buf, prev_levels = buf, bucket.levels
+                    for j, lvl in enumerate(bucket.levels):
+                        out.append(hog_features(
+                            buf[j], plan.binsize, self.packed.norient,
+                            self.packed.flen, true_size=lvl.imsize,
+                            feat_pad=bucket.feat_pad))
+                return out
+
+            self._compiled[key] = (jax.jit(fn), plan)
+        fn, plan = self._compiled[key]
+        feats = fn(image)
+        return [np.asarray(f[:lvl.featsize[0], :lvl.featsize[1]])
+                for f, lvl in zip(feats, plan.levels)]
 
     @staticmethod
     def candidates_to_detections(cands: argmax_ops.Candidates,

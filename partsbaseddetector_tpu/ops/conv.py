@@ -113,3 +113,52 @@ def conv_bank(features: jnp.ndarray, bank: jnp.ndarray,
         precision=PRECISION,
         preferred_element_type=dtype)
     return out[0] if squeeze else out
+
+
+def conv_bank_fft(features: jnp.ndarray, bank: jnp.ndarray,
+                  true_size=None, dtype=DEFAULT_DTYPE) -> jnp.ndarray:
+    """Frequency-domain variant of conv_bank: rfft2 of features and the
+    (flipped) filter bank, per-channel spectral multiply-accumulate,
+    inverse transform, crop.
+
+    This realizes the INTENT of the reference's FourierConvolutionEngine
+    (frequency-domain scoring for large filter banks) whose setFilters
+    never stored its precomputed spectra — the engine was dead code
+    (reference: src/FourierConvolutionEngine.cpp:118-138, noted in
+    SURVEY.md §2.1).  Results match conv_bank to float tolerance;
+    asymptotically cheaper when kh*kw greatly exceeds log(HW).
+
+    Same signature/semantics as conv_bank."""
+    squeeze = features.ndim == 3
+    if squeeze:
+        features = features[None]
+    FH, FW = bank.shape[:2]
+    ay, ax = FH // 2, FW // 2
+    pads = (ay, FH - 1 - ay, ax, FW - 1 - ax)
+    if true_size is not None and jnp.asarray(true_size).ndim == 1:
+        true_size = jnp.asarray(true_size)[None]
+    if true_size is None:
+        padded = occlusion_pad(features, pads)
+    else:
+        padded = jax.vmap(
+            lambda f, ts: occlusion_pad(f, pads, ts))(
+                features, jnp.asarray(true_size))
+    L, Hp, Wp, C = padded.shape
+    F = bank.shape[3]
+    # correlation via FFT: conj of the kernel spectrum
+    fft_h, fft_w = Hp, Wp
+    feat_f = jnp.fft.rfft2(
+        jnp.moveaxis(padded.astype(jnp.float32), -1, 1),
+        s=(fft_h, fft_w))                       # (L, C, Hp, Wf)
+    bank_f = jnp.fft.rfft2(
+        jnp.transpose(jnp.asarray(bank, jnp.float32), (3, 2, 0, 1)),
+        s=(fft_h, fft_w))                       # (F, C, Hp, Wf)
+    resp_f = jnp.einsum("lchw,fchw->lfhw", feat_f, jnp.conj(bank_f))
+    resp = jnp.fft.irfft2(resp_f, s=(fft_h, fft_w))   # (L, F, Hp, Wp)
+    # correlation alignment: output (y, x) corresponds to kernel top-left
+    # at padded (y, x); the centered-anchor response starts at 0 after
+    # the VALID-style crop below
+    H = Hp - (FH - 1)
+    W = Wp - (FW - 1)
+    out = jnp.moveaxis(resp[:, :, :H, :W], 1, -1).astype(dtype)
+    return out[0] if squeeze else out

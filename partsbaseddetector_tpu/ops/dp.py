@@ -62,7 +62,8 @@ class DPResult(NamedTuple):
 @partial(jax.jit, static_argnames=("compose", "dt_impl"))
 def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
            compose: str = "reference",
-           dt_impl: str = "xla") -> DPResult:
+           dt_impl: str = "xla",
+           part_mask=None) -> DPResult:
     """Run the DP for one component on one response map.
 
     pdfs: (H, W, F) filter responses for ALL model filters (the output of
@@ -82,6 +83,11 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     scores0 = pdfs_f[comp.filterid]                    # (P, M, H, W)
     # invalid mixture slots must never win any max
     scores0 = jnp.where(comp.mix_valid[..., None, None], scores0, NEG)
+    if part_mask is not None:
+        # latent-positive search constraint: part placements outside the
+        # allowed region are suppressed (the reference's overlap masking,
+        # matlab/detection/detect.m:60-101)
+        scores0 = jnp.where(part_mask[:, None, :, :], scores0, NEG)
 
     def step(scores, p):
         s = scores[p]                                  # (M, H, W)
@@ -121,9 +127,13 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
 
 def dp_min_levels(pdfs: jnp.ndarray, comp: PackedComponent,
                   compose: str = "reference",
-                  dt_impl: str = "xla") -> DPResult:
-    """vmap of dp_min over a leading levels axis: pdfs (L, H, W, F)."""
-    return jax.vmap(lambda x: dp_min(x, comp, compose, dt_impl))(pdfs)
+                  dt_impl: str = "xla", part_masks=None) -> DPResult:
+    """vmap of dp_min over a leading levels axis: pdfs (L, H, W, F);
+    part_masks: optional (L, P, H, W) bool."""
+    if part_masks is None:
+        return jax.vmap(lambda x: dp_min(x, comp, compose, dt_impl))(pdfs)
+    return jax.vmap(lambda x, m: dp_min(x, comp, compose, dt_impl, m))(
+        pdfs, part_masks)
 
 
 # ---------------------------------------------------------------------

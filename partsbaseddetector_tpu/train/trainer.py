@@ -1,0 +1,272 @@
+"""Training orchestration: the reference's trainmodel pipeline
+(reference: matlab/learning/trainmodel.m):
+
+  1. annotation geometry + part-mixture clustering
+     (point2box / data_def / clusterparts);
+  2. per-part per-mixture SVMs on warped positives (train with warp=1);
+  3. tree assembly (buildmodel);
+  4. joint latent SSVM rounds (train with warp=0): latent positive
+     extraction under GT-overlap masks, QP optimization, hard-negative
+     mining at interval=2 (train.m:95-105), final threshold at the 5th
+     percentile of positive scores (train.m:117).
+
+Every stage checkpoints to ``cache_dir`` (trainmodel.m's try/load/catch
+pattern, SURVEY.md §5).  Detection-side work (pyramids, HOG, masked
+latent search, mining) runs on the accelerator through the Detector;
+the QP cache is host-side numpy, like the reference's.
+
+Simplifications vs the reference (documented):
+  * no left/right flip augmentation of positives;
+  * stage-1 negatives are random crops of the negative images rather
+    than mined (stage 2 performs real mining);
+  * k-means restarts use a shared RNG stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from partsbaseddetector_tpu.infer.detector import Detector
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.models.npzio import load_npz, save_npz
+from partsbaseddetector_tpu.oracle import reference as oracle
+from partsbaseddetector_tpu.train import build as build_mod
+from partsbaseddetector_tpu.train import cluster as cluster_mod
+from partsbaseddetector_tpu.train import features as feat_mod
+from partsbaseddetector_tpu.train.qp import QPCache
+from partsbaseddetector_tpu.train.vectorize import (BlockLayout,
+                                                    model_to_vec,
+                                                    vec_to_model)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    nmix: int = 2                 # mixtures per part (K)
+    binsize: int = 4
+    interval: int = 5
+    norient: int = 18
+    flen: int = 32
+    C: float = 0.002              # slack scale (train.m:21)
+    wpos: float = 2.0             # positive error weight (train.m:25)
+    latent_iters: int = 2         # joint SSVM rounds (trainmodel.m
+                                  # final1 + final)
+    overlap: float = 0.6          # latent search overlap (train.m:41)
+    nmax: int = 1500              # QP cache capacity
+    neg_per_image: int = 10       # stage-1 random negative crops
+    mining_thresh: float = -1.0   # hard-negative threshold (train.m:102)
+    thresh_pct: float = 0.05      # model.thresh percentile (train.m:117)
+    k_per_level: int = 8
+    seed: int = 0
+
+
+def _stage_cache(cache_dir: Optional[str], name: str):
+    if cache_dir is None:
+        return None
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, name + ".npz")
+
+
+def _train_filter_svm(pos_feats: List[np.ndarray],
+                      neg_feats: List[np.ndarray],
+                      C: float, wpos: float, seed: int) -> np.ndarray:
+    """Binary linear SVM (bias + one filter block) via the dual CD QP —
+    stage 1's train(warp=1) on one part mixture."""
+    fshape = pos_feats[0].shape
+    length = 1 + int(np.prod(fshape))
+    qp = QPCache(length, nmax=len(pos_feats) + len(neg_feats),
+                 wreg=np.ones(length), w0=np.zeros(length),
+                 noneg=np.zeros(0, np.int64),
+                 c_pos=C * wpos, c_neg=C, seed=seed)
+    for i, f in enumerate(pos_feats):
+        qp.write(np.concatenate([[1.0], f.ravel()]), (1, i, 0, 0, 0), 1)
+    for i, f in enumerate(neg_feats):
+        qp.write(np.concatenate([[1.0], f.ravel()]),
+                 (-1, i, 0, 0, 0), -1)
+    qp.svfix = len(pos_feats)
+    qp.optimize(tol=0.05, max_iter=300)
+    w = qp.final_w()
+    return w[1:].reshape(fshape)
+
+
+def _random_negative_feats(neg_images: Sequence[np.ndarray],
+                           tsize, binsize, norient, flen, count, rng
+                           ) -> List[np.ndarray]:
+    out = []
+    ph = (tsize[0] + 2) * binsize
+    pw = (tsize[1] + 2) * binsize
+    while len(out) < count and neg_images:
+        im = neg_images[rng.integers(len(neg_images))]
+        h, w = im.shape[:2]
+        if h <= ph or w <= pw:
+            continue
+        y = rng.integers(0, h - ph)
+        x = rng.integers(0, w - pw)
+        out.append(oracle.hog_features(im[y:y + ph, x:x + pw],
+                                       binsize, norient, flen))
+    return out
+
+
+def train_parts_model(name: str,
+                      pos_images: Sequence[np.ndarray],
+                      pos_points: np.ndarray,
+                      neg_images: Sequence[np.ndarray],
+                      parents: Sequence[int],
+                      cfg: TrainConfig = TrainConfig(),
+                      cache_dir: Optional[str] = None,
+                      verbose: bool = True) -> PartsModel:
+    """Full training pipeline.  pos_points: (N, P, 2) keypoints."""
+    rng = np.random.default_rng(cfg.seed)
+    P = pos_points.shape[1]
+    parents = [int(x) for x in parents]
+
+    def log(msg):
+        if verbose:
+            print(f"[train {name}] {msg}", flush=True)
+
+    # ---- stage 0: geometry + clustering (trainmodel.m:9-16)
+    boxes = cluster_mod.point_to_box(pos_points, parents)
+    tsize = build_mod.template_size(boxes, cfg.binsize)
+    deffeat = cluster_mod.data_def(pos_points, boxes, tsize)
+    idx = cluster_mod.cluster_parts(deffeat, cfg.nmix, parents,
+                                    restarts=20, seed=cfg.seed)
+    log(f"template {tsize} cells, {cfg.nmix} mixtures/part")
+
+    # ---- stage 1: per-part per-mixture filters (trainmodel.m:18-38)
+    path = _stage_cache(cache_dir, f"{name}_parts")
+    if path and os.path.exists(path):
+        data = np.load(path, allow_pickle=True)
+        filters_per_part = data["filters"].tolist()
+        log("stage 1 loaded from cache")
+    else:
+        neg_feats = _random_negative_feats(
+            neg_images, tsize, cfg.binsize, cfg.norient, cfg.flen,
+            cfg.neg_per_image * max(len(neg_images), 1), rng)
+        filters_per_part = []
+        for p in range(P):
+            mix_filters = []
+            for k in range(cfg.nmix):
+                members = np.nonzero(idx[p] == k)[0]
+                feats = [feat_mod.warped_positive_feature(
+                    pos_images[n], boxes[n, p], tsize, cfg.binsize,
+                    cfg.norient, cfg.flen) for n in members]
+                if not feats:   # empty cluster: neutral filter
+                    mix_filters.append(
+                        np.zeros(tsize + (cfg.flen,)))
+                    continue
+                filt = _train_filter_svm(feats, neg_feats, cfg.C,
+                                         cfg.wpos, cfg.seed)
+                mix_filters.append(filt)
+            filters_per_part.append(mix_filters)
+            log(f"stage 1: part {p + 1}/{P} trained")
+        if path:
+            np.savez(path, filters=np.asarray(
+                filters_per_part, dtype=object))
+
+    # ---- stage 2: tree assembly (trainmodel.m:44)
+    model = build_mod.build_model(
+        name, filters_per_part, idx, deffeat, parents,
+        cfg.binsize, cfg.interval, cfg.norient, cfg.flen)
+
+    # ---- stage 3: joint latent SSVM rounds (trainmodel.m:41-64)
+    path = _stage_cache(cache_dir, f"{name}_final")
+    if path and os.path.exists(path):
+        log("final model loaded from cache")
+        return load_npz(path)
+    model = latent_train(model, pos_images, boxes, neg_images, cfg,
+                         log)
+    if path:
+        save_npz(path, model)
+    return model
+
+
+def latent_train(model: PartsModel,
+                 pos_images: Sequence[np.ndarray],
+                 gt_boxes: np.ndarray,
+                 neg_images: Sequence[np.ndarray],
+                 cfg: TrainConfig, log) -> PartsModel:
+    """Joint latent-SSVM rounds (reference: train.m:72-121 with
+    warp=0)."""
+    layout = BlockLayout.for_model(model)
+    _w, wreg, w0, noneg = model_to_vec(model, layout)
+
+    model.thresh = -1e9
+    det = Detector(model, k_per_level=cfg.k_per_level)
+    for t in range(cfg.latent_iters):
+        qp = QPCache(layout.length, cfg.nmax, wreg, w0, noneg,
+                     c_pos=cfg.C * cfg.wpos, c_neg=cfg.C,
+                     seed=cfg.seed + t)
+        # -- latent positives under GT-overlap masks
+        npos = 0
+        for i, im in enumerate(pos_images):
+            plan = det.plan_for(im.shape[:2])
+            masks_by_level = feat_mod.part_overlap_masks(
+                model, 0, plan, gt_boxes[i], cfg.overlap)
+            # group per bucket
+            part_masks, li = [], 0
+            for bucket in plan.buckets:
+                part_masks.append(np.stack(
+                    masks_by_level[li:li + len(bucket.levels)]))
+                li += len(bucket.levels)
+            cands = det.detect_masked_raw(im, part_masks)
+            dets = det.candidates_to_detections(cands, 1)
+            if not dets or dets[0].score <= -1e29:
+                continue
+            feats = det.pyramid_features(im)
+            vec = feat_mod.detection_feature(model, layout, dets[0],
+                                             feats)
+            qp.write(vec, (1, i, 0, 0, 0), 1)
+            npos += 1
+        log(f"iter {t + 1}: {npos} latent positives")
+        if npos == 0:
+            log("no latent positives found; stopping early")
+            break
+        qp.svfix = qp.n
+        qp.optimize()
+        model = vec_to_model(qp.final_w(), model, layout)
+        model.thresh = -1e9
+        det.update_model(model)
+
+        # -- hard-negative mining at interval=2 (train.m:95-105)
+        mining_model = dataclasses.replace(model)
+        mining_model.interval = 2
+        mining_model.thresh = cfg.mining_thresh
+        mdet = Detector(mining_model, k_per_level=cfg.k_per_level)
+        full = False
+        for i, im in enumerate(neg_images):
+            cands = mdet.detect_raw(im)
+            dets = mdet.candidates_to_detections(cands)
+            if not dets:
+                continue
+            feats = mdet.pyramid_features(im)
+            for d in dets:
+                vec = feat_mod.detection_feature(mining_model, layout,
+                                                 d, feats)
+                if not qp.write(vec, (-1, i, d.level,
+                                      d.locations[0, 1],
+                                      d.locations[0, 0]), -1):
+                    full = True
+                    break
+            if full:
+                break
+        log(f"iter {t + 1}: cache {qp.n}/{cfg.nmax} after mining")
+        qp.optimize()
+        model = vec_to_model(qp.final_w(), model, layout)
+
+        # -- detection threshold: percentile of positive scores
+        scores = qp.score_positives()
+        if len(scores):
+            model.thresh = float(np.sort(scores)[
+                int(np.ceil(len(scores) * cfg.thresh_pct)) - 1])
+        log(f"iter {t + 1}: LB={qp.lb:.4f} UB={qp.ub:.4f} "
+            f"thresh={model.thresh:.3f}")
+        # the latent search of the next round must see every candidate:
+        # keep the working detector at -inf threshold (the real
+        # threshold lives on the returned model)
+        search_model = dataclasses.replace(model)
+        search_model.thresh = -1e9
+        det.update_model(search_model)
+    return model

@@ -224,3 +224,18 @@ def test_backtrack_matches_oracle():
                                           rc.parts)
     # allow rare argmax flips from f32-vs-f64, but most must match fully
     assert matched >= max(1, int(0.9 * len(ref_cands)))
+
+
+def test_conv_bank_fft_matches_spatial(rng):
+    from partsbaseddetector_tpu.ops.conv import (conv_bank, conv_bank_fft,
+                                                 pack_filter_bank)
+    H, W, C = 21, 17, 6
+    feats = rng.standard_normal((2, H, W, C)).astype(np.float32)
+    filters = [rng.standard_normal((5, 5, C)) for _ in range(3)]
+    bank, _ = pack_filter_bank(filters)
+    ts = jnp.asarray([[H, W], [15, 11]], jnp.int32)
+    a = np.asarray(conv_bank(jnp.asarray(feats), jnp.asarray(bank),
+                             true_size=ts))
+    b = np.asarray(conv_bank_fft(jnp.asarray(feats), jnp.asarray(bank),
+                                 true_size=ts))
+    np.testing.assert_allclose(b, a, atol=2e-4)
