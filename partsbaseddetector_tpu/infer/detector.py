@@ -91,24 +91,27 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
     prev_levels = None
 
     for bucket in plan.buckets:
-        # ---- stage 1a: scale ladder into the bucket buffer
-        lvl_imgs = []
-        for j, lvl in enumerate(bucket.levels):
-            if bucket.octave == 0:
-                lvl_imgs.append(resize_linear(img, bucket.img_pad,
-                                              lvl.imsize))
-            else:
-                src = prev_buf[j]
-                src_size = prev_levels[j].imsize
-                lvl_imgs.append(pyr_down(src, bucket.img_pad, src_size))
-        buf = jnp.stack(lvl_imgs)               # (L, H, W[, C])
+        # ---- stage 1a: scale ladder into the bucket buffer, one traced
+        # body per bucket (vmap over levels with traced true sizes keeps
+        # the program O(buckets), not O(levels))
+        imsizes = jnp.asarray([lvl.imsize for lvl in bucket.levels],
+                              jnp.int32)
+        if bucket.octave == 0:
+            buf = jax.vmap(lambda ts: resize_linear(
+                img, bucket.img_pad, (ts[0], ts[1])))(imsizes)
+        else:
+            prev_sizes = jnp.asarray(
+                [lvl.imsize for lvl in prev_levels[:len(bucket.levels)]],
+                jnp.int32)
+            buf = jax.vmap(lambda sb, ts: pyr_down(
+                sb, bucket.img_pad, (ts[0], ts[1])))(
+                    prev_buf[:len(bucket.levels)], prev_sizes)
         prev_buf, prev_levels = buf, bucket.levels
 
-        # ---- stage 1b: HOG per level (static true sizes per plan)
-        feats = jnp.stack([
-            hog_features(buf[j], binsize, norient, flen,
-                         true_size=lvl.imsize, feat_pad=bucket.feat_pad)
-            for j, lvl in enumerate(bucket.levels)])   # (L, fh, fw, C)
+        # ---- stage 1b: HOG per level (traced true sizes, one body)
+        feats = jax.vmap(lambda b, ts: hog_features(
+            b, binsize, norient, flen, true_size=(ts[0], ts[1]),
+            feat_pad=bucket.feat_pad))(buf, imsizes)   # (L, fh, fw, C)
 
         # ---- stage 2: one conv for the whole bucket
         tsizes = jnp.asarray([lvl.featsize for lvl in bucket.levels],
@@ -230,22 +233,25 @@ class Detector:
                 out = []
                 prev_buf = prev_levels = None
                 for bucket in plan.buckets:
-                    lvl_imgs = []
-                    for j, lvl in enumerate(bucket.levels):
-                        if bucket.octave == 0:
-                            lvl_imgs.append(resize_linear(
-                                img, bucket.img_pad, lvl.imsize))
-                        else:
-                            lvl_imgs.append(pyr_down(
-                                prev_buf[j], bucket.img_pad,
-                                prev_levels[j].imsize))
-                    buf = jnp.stack(lvl_imgs)
+                    imsizes = jnp.asarray(
+                        [lvl.imsize for lvl in bucket.levels], jnp.int32)
+                    if bucket.octave == 0:
+                        buf = jax.vmap(lambda ts: resize_linear(
+                            img, bucket.img_pad, (ts[0], ts[1])))(imsizes)
+                    else:
+                        prev_sizes = jnp.asarray(
+                            [lvl.imsize for lvl in
+                             prev_levels[:len(bucket.levels)]], jnp.int32)
+                        buf = jax.vmap(lambda sb, ts: pyr_down(
+                            sb, bucket.img_pad, (ts[0], ts[1])))(
+                                prev_buf[:len(bucket.levels)], prev_sizes)
                     prev_buf, prev_levels = buf, bucket.levels
-                    for j, lvl in enumerate(bucket.levels):
-                        out.append(hog_features(
-                            buf[j], plan.binsize, self.packed.norient,
-                            self.packed.flen, true_size=lvl.imsize,
-                            feat_pad=bucket.feat_pad))
+                    feats = jax.vmap(lambda b, ts: hog_features(
+                        b, plan.binsize, self.packed.norient,
+                        self.packed.flen, true_size=(ts[0], ts[1]),
+                        feat_pad=bucket.feat_pad))(buf, imsizes)
+                    out.extend(feats[j] for j in
+                               range(len(bucket.levels)))
                 return out
 
             self._compiled[key] = (jax.jit(fn), plan)

@@ -21,6 +21,7 @@ shape bucket.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from partsbaseddetector_tpu.ops.common import DEFAULT_DTYPE, PRECISION
@@ -109,50 +110,105 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
 
     # ---- gradients at clamped source coords
     # (reference: src/HOGFeatures.cpp:202-239; the loop runs y,x in
-    # [1, visible-1) with source reads clamped to <= size-2)
+    # [1, visible-1) with source reads clamped to <= size-2).
+    # Clamping only changes the last rows/cols, so the clamped reads are
+    # static one-pixel shifts where()-patched with a dynamically-sliced
+    # boundary row/column — no gathers, and one traced body serves all
+    # pyramid levels of a shape bucket (traced h/w).
     yy = jnp.arange(H)
     xx = jnp.arange(W)
-    sy = jnp.minimum(yy, h_i - 2)
-    sx = jnp.minimum(xx, w_i - 2)
-    syp = jnp.clip(sy + 1, 0, H - 1)
-    sym = jnp.clip(sy - 1, 0, H - 1)
-    sxp = jnp.clip(sx + 1, 0, W - 1)
-    sxm = jnp.clip(sx - 1, 0, W - 1)
-    dy = x[syp][:, sx] - x[sym][:, sx]
-    dx = x[sy][:, sxp] - x[sy][:, sxm]
+
+    def row_at(img, i):
+        """img[i] with traced i, as a (1, W, C) dynamic slice."""
+        return jax.lax.dynamic_slice_in_dim(
+            img, jnp.clip(jnp.asarray(i, jnp.int32), 0, H - 1), 1, 0)
+
+    def col_at(img, i):
+        return jax.lax.dynamic_slice_in_dim(
+            img, jnp.clip(jnp.asarray(i, jnp.int32), 0, W - 1), 1, 1)
+
+    def shift_rows(img, s):
+        """img[y + s] with zero fill (patched by the where below)."""
+        if s >= 0:
+            return jnp.concatenate(
+                [img[s:], jnp.zeros((s,) + img.shape[1:], img.dtype)],
+                axis=0)
+        return jnp.concatenate(
+            [jnp.zeros((-s,) + img.shape[1:], img.dtype), img[:s]],
+            axis=0)
+
+    def shift_cols(img, s):
+        if s >= 0:
+            return jnp.concatenate(
+                [img[:, s:], jnp.zeros(
+                    (img.shape[0], s) + img.shape[2:], img.dtype)],
+                axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((img.shape[0], -s) + img.shape[2:], img.dtype),
+             img[:, :s]], axis=1)
+
+    h_t = jnp.asarray(h, jnp.int32)
+    w_t = jnp.asarray(w, jnp.int32)
+    ymask = (yy <= h_t - 3)[:, None, None]
+    xmask = (xx <= w_t - 3)[None, :, None]
+
+    # column-clamped image: xc[:, x'] = x[:, min(x', w-2)]
+    xc = jnp.where((xx <= w_t - 2)[None, :, None], x, col_at(x, w_t - 2))
+    # row-clamped image
+    xr = jnp.where((yy <= h_t - 2)[:, None, None], x, row_at(x, h_t - 2))
+
+    # dy = xc[min(y,h-2)+1] - xc[min(y,h-2)-1]
+    dy_main = shift_rows(xc, 1) - shift_rows(xc, -1)
+    dy_edge = row_at(xc, h_t - 1) - row_at(xc, h_t - 3)
+    dy = jnp.where(ymask, dy_main, dy_edge)
+    # dx = xr[:, min(x,w-2)+1] - xr[:, min(x,w-2)-1]
+    dx_main = shift_cols(xr, 1) - shift_cols(xr, -1)
+    dx_edge = col_at(xr, w_t - 1) - col_at(xr, w_t - 3)
+    dx = jnp.where(xmask, dx_main, dx_edge)
     v2 = dx * dx + dy * dy
     if nchan == 3:
-        # strongest channel; reference tie order prefers ch2 (red in BGR)
-        # then ch1 then ch0 with strict > updates
-        # (reference: src/HOGFeatures.cpp:217-239).  Our convention: RGB
-        # input, so the tie priority is channel 0 (red) first.
-        v2o = v2
-        sel = jnp.argmax(v2o, axis=-1)
-        v2b = jnp.take_along_axis(v2o, sel[..., None], -1)[..., 0]
-        dxb = jnp.take_along_axis(dx, sel[..., None], -1)[..., 0]
-        dyb = jnp.take_along_axis(dy, sel[..., None], -1)[..., 0]
+        # strongest channel with strict > updates, priority ch0 > ch1 >
+        # ch2 on ties (reference: src/HOGFeatures.cpp:217-239 visits
+        # BGR order preferring the last channel; our input is RGB so
+        # channel 0 has the same role).  Select cascade — no gathers.
+        v2b, dxb, dyb = v2[..., 0], dx[..., 0], dy[..., 0]
+        for ch in (1, 2):
+            upd = v2[..., ch] > v2b
+            v2b = jnp.where(upd, v2[..., ch], v2b)
+            dxb = jnp.where(upd, dx[..., ch], dxb)
+            dyb = jnp.where(upd, dy[..., ch], dyb)
     else:
         v2b, dxb, dyb = v2[..., 0], dx[..., 0], dy[..., 0]
 
     # ---- orientation snap, tie order d0, -d0, d1, -d1, ... strict >
-    # (reference: src/HOGFeatures.cpp:242-249)
+    # (reference: src/HOGFeatures.cpp:242-249).  The binning only needs
+    # the per-orientation magnitude planes, so instead of argmax +
+    # one-hot gathers we build a first-wins equality mask.
     uu = jnp.asarray(_UU[:half], dtype)
     vv = jnp.asarray(_VV[:half], dtype)
     dots = dxb[..., None] * uu + dyb[..., None] * vv      # (H, W, half)
-    cand = jnp.stack([dots, -dots], axis=-1).reshape(H, W, norient)
-    kidx = jnp.argmax(cand, axis=-1)
-    bestv = jnp.take_along_axis(cand, kidx[..., None], -1)[..., 0]
-    orient = jnp.where(bestv > 0, kidx // 2 + half * (kidx % 2), 0)
+    # candidates in the reference's tie order d0, -d0, d1, -d1, ...
+    cand = jnp.stack([dots, -dots], axis=-1).reshape(
+        dots.shape[:2] + (norient,))
+    bestv = jnp.max(cand, axis=-1, keepdims=True)
+    eq = cand == bestv
+    first = eq & (jnp.cumsum(eq, axis=-1) == 1)
+    # slot k maps to orientation k//2 + half*(k%2): permute the mask
+    # from tie-order slots to orientation channels (static transpose)
+    first = jnp.swapaxes(first.reshape(first.shape[:2] + (half, 2)),
+                         -1, -2).reshape(first.shape[:2] + (norient,))
+    # zero/negative best -> orientation 0 (reference keeps best_o = 0)
+    onehot0 = jnp.concatenate(
+        [jnp.ones(first.shape[:2] + (1,), bool),
+         jnp.zeros(first.shape[:2] + (norient - 1,), bool)], axis=-1)
+    first = jnp.where(bestv > 0, first, onehot0)
     mag = jnp.sqrt(v2b)
 
     # mask out pixels outside the reference loop range [1, vis-1)
     valid = (((yy >= 1) & (yy <= vis_h - 2))[:, None]
              & ((xx >= 1) & (xx <= vis_w - 2))[None, :])
     mag = jnp.where(valid, mag, 0.0)
-
-    # per-orientation magnitude planes, then tent-matrix binning
-    onehot = (orient[..., None] == jnp.arange(norient)).astype(dtype)
-    mag_o = mag[..., None] * onehot                        # (H, W, O)
+    mag_o = mag[..., None] * first.astype(dtype)           # (H, W, O)
     By = _tent_matrix(bh_pad, H, binsize, bh, vis_h, h_i, dtype)
     Bx = _tent_matrix(bw_pad, W, binsize, bw, vis_w, w_i, dtype)
     hist = jnp.einsum("ch,hwo,dw->cdo", By, mag_o, Bx,

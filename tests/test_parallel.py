@@ -1,0 +1,55 @@
+"""Sharded batch detection on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from partsbaseddetector_tpu.infer.detector import Detector
+from partsbaseddetector_tpu.models import synthetic
+from partsbaseddetector_tpu.parallel.mesh import make_mesh
+from partsbaseddetector_tpu.parallel.sharded import BatchDetector
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = synthetic.tiny(seed=3)
+    m.thresh = -1e9
+    return m
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_batch_detector_matches_single(model, shape):
+    """Sharding over data and/or filter axes must not change results."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(shape)
+    bdet = BatchDetector(model, mesh, k_per_level=16)
+    det = Detector(model, k_per_level=16)
+
+    rng = np.random.default_rng(0)
+    B = shape[0] * 2
+    images = (rng.random((B, 64, 64, 3)) * 255).astype(np.float32)
+    cands = bdet.detect_batch(images)
+    assert cands.score.shape[0] == B
+    for b in range(B):
+        single = det.detect_raw(images[b])
+        np.testing.assert_allclose(np.asarray(cands.score[b]),
+                                   np.asarray(single.score), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(cands.valid[b]),
+                                      np.asarray(single.valid))
+        # box agreement on valid entries
+        v = np.asarray(single.valid)
+        np.testing.assert_allclose(
+            np.asarray(cands.boxes[b])[v],
+            np.asarray(single.boxes)[v], atol=1e-3)
+
+
+def test_batch_detector_rejects_bad_batch(model):
+    mesh = make_mesh((8, 1))
+    bdet = BatchDetector(model, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        bdet.detect_batch(np.zeros((3, 64, 64, 3), np.float32))
+
+
+def test_graft_dryrun_runs():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
