@@ -20,12 +20,28 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="model format converter")
     ap.add_argument("input")
     ap.add_argument("output")
+    ap.add_argument("--from-format", default=None, choices=["voc", "face"],
+                    help="convert a foreign .mat model (VOC DPM or "
+                         "Zhu-Ramanan face) to the pose format "
+                         "(reference: matlab/modelTransfer.m)")
+    ap.add_argument("--name", default=None, help="output model name")
     args = ap.parse_args(argv)
 
     from partsbaseddetector_tpu.models import (load_any, matio,
                                                filestorage, npzio)
 
-    model = load_any(args.input)
+    if args.from_format:
+        from partsbaseddetector_tpu.models.transfer_formats import \
+            load_foreign
+        import os
+        model = load_foreign(
+            args.input, args.from_format,
+            args.name or os.path.splitext(
+                os.path.basename(args.input))[0])
+    else:
+        model = load_any(args.input)
+        if args.name:
+            model.name = args.name
     out = args.output
     if out.endswith((".xml", ".yml", ".yaml")):
         filestorage.save_model(out, model)

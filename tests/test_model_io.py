@@ -157,3 +157,70 @@ def test_load_any_dispatch(tmp_path, tiny_model):
     p = str(tmp_path / "m.npz")
     npzio.save_npz(p, tiny_model)
     assert_models_equal(tiny_model, load_any(p), atol=1e-6)
+
+
+def _save_face_fixture(path, ncomp=2, nparts=3):
+    """Minimal Zhu-Ramanan-style face .mat model."""
+    import scipy.io
+    rng = np.random.default_rng(0)
+    nf = ncomp * nparts
+    filt_dt = np.dtype([("w", object)])
+    filters = np.empty((1, nf), dtype=filt_dt)
+    for i in range(nf):
+        filters[0, i]["w"] = rng.standard_normal((4, 4, 32))
+    ndefs = ncomp * nparts  # first def per comp = scalar bias
+    defs_dt = np.dtype([("w", object), ("anchor", object)])
+    defs = np.empty((1, ndefs), dtype=defs_dt)
+    d = 0
+    for c in range(ncomp):
+        defs[0, d]["w"] = np.array([[0.3 + c]])     # global bias
+        defs[0, d]["anchor"] = np.zeros((1, 3))
+        d += 1
+        for p in range(1, nparts):
+            defs[0, d]["w"] = np.array([[0.02, 0.01, 0.03, -0.01]])
+            defs[0, d]["anchor"] = np.array([[2.0, 3.0, 0.0]])
+            d += 1
+    part_dt = np.dtype([("filterid", object), ("defid", object),
+                        ("parent", object)])
+    comps = np.empty((1, ncomp), dtype=object)
+    d = 1
+    f = 1
+    for c in range(ncomp):
+        parts = np.empty((1, nparts), dtype=part_dt)
+        base_def = c * nparts + 1
+        base_f = c * nparts + 1
+        for p in range(nparts):
+            parts[0, p]["filterid"] = np.array([[float(base_f + p)]])
+            parts[0, p]["defid"] = np.array([[float(base_def + p)]])
+            parts[0, p]["parent"] = np.array(
+                [[0.0 if p == 0 else 1.0]])
+        comps[0, c] = parts
+    model_dt = np.dtype([(k, object) for k in
+                         ("sbin", "interval", "thresh", "filters",
+                          "defs", "components")])
+    rec = np.empty((1, 1), dtype=model_dt)
+    rec[0, 0]["sbin"] = np.array([[5.0]])
+    rec[0, 0]["interval"] = np.array([[10.0]])
+    rec[0, 0]["thresh"] = np.array([[-0.5]])
+    rec[0, 0]["filters"] = filters
+    rec[0, 0]["defs"] = defs
+    rec[0, 0]["components"] = comps
+    scipy.io.savemat(path, {"model": rec})
+
+
+def test_face_format_conversion(tmp_path):
+    from partsbaseddetector_tpu.models.transfer_formats import \
+        load_foreign
+    path = str(tmp_path / "face.mat")
+    _save_face_fixture(path)
+    model = load_foreign(path, "face", "facetest")
+    assert model.ncomponents == 2
+    assert model.components[0].nparts == 3
+    assert model.binsize == 5
+    # per-component bias + shared zero pairwise bias
+    np.testing.assert_allclose(model.biasw[:2], [0.3, 1.3])
+    assert model.biasw[2] == 0.0
+    # anchors re-based to 0
+    p1 = model.components[0].parts[1]
+    np.testing.assert_array_equal(model.anchors[p1.defid[0]], [1, 2])
+    model.validate()
