@@ -72,11 +72,29 @@ class Detection:
         return dataclasses.replace(self, parts=self.parts * factor)
 
 
+def _dp_groups(bucket, dp_split: int):
+    """Split a bucket's levels into <= dp_split groups for stages 3-4,
+    each padded only to ITS largest level.  Within an octave, level sizes
+    decay by 2^(-i/interval), so DT cost on the octave-padded buffer
+    wastes ~2x on the upper levels; re-padding per group recovers most of
+    it (cost model: sum over levels of H*W^2 vs the padded bound)."""
+    L = len(bucket.levels)
+    n = max(1, min(dp_split, L))
+    size = (L + n - 1) // n
+    groups = []
+    for lo in range(0, L, size):
+        hi = min(lo + size, L)
+        fh, fw = bucket.levels[lo].featsize   # largest level in group
+        groups.append((lo, hi, fh, fw))
+    return groups
+
+
 def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     plan: PyramidPlan, k_per_level: int,
                     compose: str,
                     dt_impl: str = "xla",
-                    part_masks=None) -> argmax_ops.Candidates:
+                    part_masks=None,
+                    dp_split: int = 1) -> argmax_ops.Candidates:
     """The full jitted detection program for one image.
 
     part_masks: optional per-bucket list of (L, P, fh, fw) bool masks of
@@ -129,17 +147,21 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
 
         scales = jnp.asarray([lvl.scale for lvl in bucket.levels],
                              jnp.float32)
-        # ---- stages 3-4 per component
+        # ---- stages 3-4 per (level group, component); groups re-pad to
+        # their own largest level so the DT never pays the octave bound
         bmask = None if part_masks is None else \
             part_masks[bucket.octave]
-        for c, comp in enumerate(packed.components):
-            res = dp_min_levels(pdfs, comp, compose, dt_impl, bmask)
-            cands = argmax_ops.backtrack_levels(
-                res, comp, packed.parent_static[c], packed.thresh,
-                scales, k_per_level, true_sizes=tsizes,
-                component_index=c,
-                level_offset=bucket.levels[0].index, compose=compose)
-            all_cands.append(cands)
+        for lo, hi, gfh, gfw in _dp_groups(bucket, dp_split):
+            gpdfs = pdfs[lo:hi, :gfh, :gfw]
+            gmask = None if bmask is None else bmask[lo:hi, :, :gfh, :gfw]
+            for c, comp in enumerate(packed.components):
+                res = dp_min_levels(gpdfs, comp, compose, dt_impl, gmask)
+                cands = argmax_ops.backtrack_levels(
+                    res, comp, packed.parent_static[c], packed.thresh,
+                    scales[lo:hi], k_per_level, true_sizes=tsizes[lo:hi],
+                    component_index=c,
+                    level_offset=bucket.levels[lo].index, compose=compose)
+                all_cands.append(cands)
 
     merged = argmax_ops.concat_candidates(all_cands)
     return argmax_ops.sort_candidates(merged)
@@ -153,7 +175,8 @@ class Detector:
     """
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
-                 compose: str = "reference", dt_impl: str = "auto"):
+                 compose: str = "reference", dt_impl: str = "auto",
+                 dp_split: int = 3):
         self.model = model
         self.packed = pack_model(model)
         self.k_per_level = int(k_per_level)
@@ -163,6 +186,7 @@ class Detector:
             # (the pallas kernel exists for the full-table DT path)
             dt_impl = "xla"
         self.dt_impl = dt_impl
+        self.dp_split = int(dp_split)
         self._compiled: Dict[Tuple[int, int], object] = {}
 
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
@@ -175,7 +199,8 @@ class Detector:
             fn = jax.jit(partial(_detect_program, plan=plan,
                                  k_per_level=self.k_per_level,
                                  compose=self.compose,
-                                 dt_impl=self.dt_impl))
+                                 dt_impl=self.dt_impl,
+                                 dp_split=self.dp_split))
             self._compiled[key] = (fn, plan)
         return self._compiled[key]
 
@@ -198,7 +223,8 @@ class Detector:
             fn = jax.jit(partial(_detect_program, plan=plan,
                                  k_per_level=self.k_per_level,
                                  compose=self.compose,
-                                 dt_impl=self.dt_impl))
+                                 dt_impl=self.dt_impl,
+                                 dp_split=self.dp_split))
             self._compiled[key] = (fn, plan)
         fn, _ = self._compiled[key]
         return fn(image, self.packed,

@@ -122,3 +122,65 @@ def dt_mixtures_raw(scores: jnp.ndarray, defw: jnp.ndarray,
                     anchors: jnp.ndarray):
     """vmapped raw DT over the mixture axis.  scores: (M_mix, H, W)."""
     return jax.vmap(distance_transform_raw)(scores, defw, anchors)
+
+
+# --------------------------------------------------------------------------
+# shifted / strided DT — the multi-resolution message-passing kernel
+# --------------------------------------------------------------------------
+
+def _shiftdt_pass(src: jnp.ndarray, a, b, shift, dlen: int, step):
+    """One shifted/strided 1-D max-transform pass along the last axis.
+
+    dst[..., i] = max_x src[..., x] - a d^2 - b d,  d = shift + i*step - x
+    (output grid positions q_i = shift + i*step on the SOURCE grid).
+    Returns (dst, argmax) of shapes (..., dlen); argmax resolves ties to
+    the smallest source index."""
+    n = src.shape[-1]
+    q = jnp.asarray(shift, src.dtype) + \
+        jnp.arange(dlen, dtype=src.dtype) * jnp.asarray(step, src.dtype)
+    d = q[:, None] - jnp.arange(n, dtype=src.dtype)[None, :]
+    pen = -jnp.asarray(a, src.dtype) * d * d \
+        - jnp.asarray(b, src.dtype) * d                  # (dlen, n)
+    cand = src[..., None, :] + pen                       # (..., dlen, n)
+    dst = jnp.max(cand, axis=-1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.where(cand >= dst[..., None], n - 1 - iota, jnp.int32(-1))
+    idx = (n - 1) - jnp.max(rev, axis=-1)
+    return dst, idx.astype(jnp.int32)
+
+
+def shiftdt(score: jnp.ndarray, w: jnp.ndarray, startx, starty,
+            lenx: int, leny: int, step=1):
+    """Generalized DT on a shifted, subsampled output grid — the
+    message-passing kernel for parts at DIFFERENT pyramid resolutions
+    (child at a finer level than its parent), a capability of the Matlab
+    detector (reference: matlab/oct/shiftdt.cc:17-52, used by passmsg at
+    matlab/detection/detect.m:230-245 with step = 2^ds and virtual-padding
+    start offsets) that the C++ port dropped (its DT fixes step == 1,
+    include/DistanceTransform.hpp:152-182).
+
+    score: (H, W) child score map; w = (w0, w1, w2, w3) deformation
+    penalty (x-quadratic, x-linear, y-quadratic, y-linear, all >= 0 for a
+    true penalty); startx/starty: 0-based position on the child grid of
+    the parent's (0, 0) cell; step: child cells per parent cell.
+
+    Output grid: child position (starty + i*step, startx + j*step) for
+    parent cell (i, j), i < leny, j < lenx.
+
+    Computes the y pass first, then x — the Matlab kernel's order
+    (shiftdt.cc:97-102; the C++ engine runs x first) — and composes the
+    argmax tables exactly like the mex kernel (shiftdt.cc:105-111,
+    0-based): Iy[i, j] = IyCol[i, Ix[i, j]].
+
+    Returns (out, Ix, Iy), each (leny, lenx); Ix/Iy are child-grid
+    coordinates.  Dense O(N * dlen) per pass — on TPU the broadcast+reduce
+    formulation (see module docstring) beats the sequential envelope."""
+    w = jnp.asarray(w)
+    # y pass: columns of score, output rows at starty + i*step
+    tmp_t, iy_t = _shiftdt_pass(score.T, w[2], w[3], starty, leny, step)
+    tmp = tmp_t.T                                        # (leny, W)
+    iy_col = iy_t.T                                      # (leny, W)
+    # x pass: rows of tmp, output cols at startx + j*step
+    out, ix = _shiftdt_pass(tmp, w[0], w[1], startx, lenx, step)
+    iy = jnp.take_along_axis(iy_col, ix, axis=1)
+    return out, ix, iy

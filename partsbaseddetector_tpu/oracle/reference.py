@@ -394,6 +394,80 @@ def distance_transform(score: np.ndarray, w: Sequence[float],
     return out, Ix, Iy
 
 
+def _dt_row_shift(src: np.ndarray, a: float, b: float, off: float,
+                  dlen: int, dstep: float
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """1-D envelope DT read out on a shifted, strided output grid
+    q_i = off + i*dstep — the Matlab mex kernel's dt1d
+    (reference: matlab/oct/shiftdt.cc:17-52).  a < 0 computes the
+    max-transform (the mex negates the model penalty on entry,
+    shiftdt.cc:72-75)."""
+    N = src.shape[0]
+    v = np.zeros(N, dtype=np.int64)
+    z = np.zeros(N + 1)
+    dst = np.zeros(dlen)
+    ptr = np.zeros(dlen, dtype=np.int64)
+
+    def intersect(x0, x1, y0, y1):
+        return ((y1 - y0) - b * (x1 - x0) + a * (x1 * x1 - x0 * x0)) \
+            / (2.0 * a * (x1 - x0))
+
+    k = 0
+    v[0] = 0
+    z[0] = -np.inf
+    z[1] = np.inf
+    for q in range(1, N):
+        s = intersect(v[k], q, src[v[k]], src[q])
+        while s <= z[k] and k > 0:
+            k -= 1
+            s = intersect(v[k], q, src[v[k]], src[q])
+        k += 1
+        v[k] = q
+        z[k] = s
+        z[k + 1] = np.inf
+
+    k = 0
+    q = float(off)
+    for i in range(dlen):
+        while z[k + 1] < q:
+            k += 1
+        d = q - v[k]
+        dst[i] = a * d * d + b * d + src[v[k]]
+        ptr[i] = v[k]
+        q += dstep
+    return dst, ptr
+
+
+def shiftdt(score: np.ndarray, w: Sequence[float], startx: float,
+            starty: float, lenx: int, leny: int, step: float = 1.0
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Strided/shifted 2-D generalized DT, the Matlab multi-resolution
+    message-passing kernel (reference: matlab/oct/shiftdt.cc:56-122):
+    y pass over columns first, then x over rows, output grid
+    (starty + i*step, startx + j*step), argmin composition
+    Iy[i, j] = tmpIy[i, Ix[i, j]] (shiftdt.cc:105-111, 0-based here).
+
+    w = (w0, w1, w2, w3) >= 0 deformation penalty.  Returns (out, Ix, Iy)
+    each (leny, lenx) with child-grid coordinates."""
+    H, W = score.shape
+    w0, w1, w2, w3 = (float(x) for x in w)
+
+    tmp = np.zeros((leny, W))
+    iy_col = np.zeros((leny, W), dtype=np.int64)
+    for x in range(W):
+        tmp[:, x], iy_col[:, x] = _dt_row_shift(
+            score[:, x], -w2, -w3, starty, leny, step)
+
+    out = np.zeros((leny, lenx))
+    ix = np.zeros((leny, lenx), dtype=np.int64)
+    for y in range(leny):
+        out[y], ix[y] = _dt_row_shift(
+            tmp[y], -w0, -w1, startx, lenx, step)
+
+    iy = np.take_along_axis(iy_col, ix, axis=1)
+    return out, ix, iy
+
+
 def distance_transform_bruteforce(score: np.ndarray, w: Sequence[float],
                                   anchor: Sequence[int]
                                   ) -> Tuple[np.ndarray, np.ndarray,

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     ap.add_argument("image")
     ap.add_argument("depth", nargs="?", default=None)
     ap.add_argument("--out", default=None, help="overlay output path")
+    ap.add_argument("--skeleton", action="store_true",
+                    help="draw part-tree stick figures on the overlay "
+                         "(matlab/visualization/showskeletons.m)")
     ap.add_argument("--nms", type=float, default=None,
                     help="paint-NMS overlap; omit to skip NMS")
     ap.add_argument("--max-candidates", type=int, default=20)
@@ -88,6 +91,11 @@ def main(argv=None) -> int:
                                                       save_image)
         overlay = draw_detections(im, detections,
                                   max_candidates=args.max_candidates)
+        if args.skeleton:
+            from partsbaseddetector_tpu.utils.viz import draw_skeleton
+            parents = [p.parentid for p in model.components[0].parts]
+            overlay = draw_skeleton(
+                overlay, detections[:args.max_candidates], parents)
         save_image(args.out, overlay)
         print(f"overlay written to {args.out}")
     return 0

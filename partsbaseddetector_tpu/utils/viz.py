@@ -69,3 +69,133 @@ def save_image(path: str, image: np.ndarray) -> None:
     if img.dtype != np.uint8:
         img = np.clip(img, 0, 255).astype(np.uint8)
     Image.fromarray(img).save(path)
+
+
+def draw_skeleton(image: np.ndarray, detections: Sequence,
+                  parents: Sequence[int], width: int = 4) -> np.ndarray:
+    """Stick-figure rendering: a line from each part's box center to its
+    parent's, colored per part (the Matlab skeleton renderer,
+    reference: matlab/visualization/showskeletons.m:1-20)."""
+    from PIL import Image, ImageDraw
+
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    pil = Image.fromarray(img)
+    draw = ImageDraw.Draw(pil)
+    for det in detections:
+        P = len(det.parts)
+        colors = part_colors(P)
+        cx = (det.parts[:, 0] + det.parts[:, 2]) / 2.0
+        cy = (det.parts[:, 1] + det.parts[:, 3]) / 2.0
+        for child in range(1, P):
+            par = int(parents[child])
+            draw.line([(float(cx[par]), float(cy[par])),
+                       (float(cx[child]), float(cy[child]))],
+                      fill=colors[child], width=width)
+    return np.asarray(pil)
+
+
+def fold_hog(w: np.ndarray, norient: int = 18) -> np.ndarray:
+    """Condense a HOG filter into a norient/2-orientation positive
+    histogram (reference: matlab/visualization/foldHOG.m:1-7): the two
+    contrast-sensitive halves and the insensitive block, clamped at 0 and
+    summed."""
+    w = np.asarray(w, np.float64)
+    h = norient // 2
+    return (np.maximum(w[:, :, 0:h], 0)
+            + np.maximum(w[:, :, h:2 * h], 0)
+            + np.maximum(w[:, :, 2 * h:3 * h], 0))
+
+
+def hog_picture(w9: np.ndarray, bs: int = 20) -> np.ndarray:
+    """Render an n-orientation weight grid as oriented-edge glyphs
+    (reference: matlab/visualization/HOGpicture.m:1-28): one bs x bs bar
+    glyph per orientation, rotated in 180/n-degree steps, added with the
+    (non-negative) weights.  Returns float (bs*H, bs*W)."""
+    from PIL import Image
+
+    n = w9.shape[2]
+    base = np.zeros((bs, bs), np.float64)
+    mid = int(round(bs / 2.0)) - 1
+    base[:, mid:mid + 2] = 1.0
+    glyphs = [base]
+    im0 = Image.fromarray((base * 255).astype(np.uint8))
+    for i in range(1, n):
+        rot = im0.rotate(-180.0 / n * i, resample=Image.BILINEAR,
+                         expand=False)
+        glyphs.append(np.asarray(rot, np.float64) / 255.0)
+
+    w = np.maximum(np.asarray(w9, np.float64), 0)
+    H, W = w.shape[:2]
+    out = np.zeros((bs * H, bs * W), np.float64)
+    for i in range(H):
+        for j in range(W):
+            cell = sum(glyphs[k] * w[i, j, k] for k in range(n))
+            out[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] = cell
+    return out
+
+
+def visualize_filter(filt: np.ndarray, bs: int = 20,
+                     norient: int = 18) -> np.ndarray:
+    """uint8 glyph rendering of one part filter (foldHOG + HOGpicture +
+    the gray border, reference: matlab/visualization/visualizemodel.m:
+    30-43)."""
+    w9 = fold_hog(filt, norient)
+    scale = max(float(np.abs(w9).max()), 1e-12)
+    p = hog_picture(w9, bs)
+    p = np.pad(p, 2)
+    p = np.clip(p * (255.0 / scale), 0, 255).astype(np.uint8)
+    p[:, :4] = 128
+    p[:, -4:] = 128
+    p[:4, :] = 128
+    p[-4:, :] = 128
+    return p
+
+
+def visualize_model(model, bs: int = 20, mixture: int = 0) -> np.ndarray:
+    """Montage of one component's part filters pasted at their anchor
+    offsets (reference: matlab/visualization/visualizemodel.m:45-92).
+    Returns a uint8 grayscale image."""
+    comp = model.components[0]
+    P = comp.nparts
+    tiles = []
+    for p in range(P):
+        part = comp.parts[p]
+        m = min(mixture, len(part.filterid) - 1)
+        tiles.append(visualize_filter(
+            np.asarray(model.filters[part.filterid[m]]), bs,
+            model.norient))
+
+    im = tiles[0]
+    start = np.zeros((P, 2), np.int64)   # top-left of each pasted tile
+    for p in range(1, P):
+        part = comp.parts[p]
+        m = min(mixture, len(part.defid) - 1)
+        ax, ay = (int(v) for v in np.asarray(
+            model.anchors[part.defid[m]])[:2])
+        par = int(part.parentid)
+        x1 = ax * bs + start[par, 0]
+        y1 = ay * bs + start[par, 1]
+        grow_x = max(0, -x1)
+        grow_y = max(0, -y1)
+        if grow_x or grow_y:
+            new = np.zeros((im.shape[0] + grow_y,
+                            im.shape[1] + grow_x), im.dtype)
+            new[grow_y:, grow_x:] = im
+            im = new
+            start += np.array([grow_x, grow_y])
+            x1 += grow_x
+            y1 += grow_y
+        t = tiles[p]
+        y2, x2 = y1 + t.shape[0], x1 + t.shape[1]
+        if y2 > im.shape[0] or x2 > im.shape[1]:
+            new = np.zeros((max(im.shape[0], y2),
+                            max(im.shape[1], x2)), im.dtype)
+            new[:im.shape[0], :im.shape[1]] = im
+            im = new
+        im[y1:y2, x1:x2] = t
+        start[p] = (x1, y1)
+    return im

@@ -239,3 +239,43 @@ def test_conv_bank_fft_matches_spatial(rng):
     b = np.asarray(conv_bank_fft(jnp.asarray(feats), jnp.asarray(bank),
                                  true_size=ts))
     np.testing.assert_allclose(b, a, atol=2e-4)
+
+
+# ------------------------------------------------------------ shiftdt
+
+@pytest.mark.parametrize("step,start,out_shape", [
+    (1, (0, 0), (13, 13)),            # plain DT, same grid
+    (2, (3, 1), (6, 7)),              # half-resolution parent
+    (2, (-2, -4), (8, 6)),            # negative virtual-padding starts
+    (4, (5, 2), (4, 4)),              # two-octave gap
+])
+def test_shiftdt_matches_oracle(rng, step, start, out_shape):
+    from partsbaseddetector_tpu.ops.dt import shiftdt
+    H, W = 13, 15
+    score = rng.standard_normal((H, W)).astype(np.float32) * 3
+    w = np.array([0.1, -0.02, 0.07, 0.01], np.float32)
+    startx, starty = start
+    leny, lenx = out_shape
+    out, ix, iy = shiftdt(jnp.asarray(score), jnp.asarray(w),
+                          startx, starty, lenx, leny, step)
+    ref_out, ref_ix, ref_iy = oracle.shiftdt(
+        score.astype(np.float64), w, startx, starty, lenx, leny, step)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4)
+    assert (np.asarray(ix) == ref_ix).mean() > 0.99
+    assert (np.asarray(iy) == ref_iy).mean() > 0.99
+
+
+def test_shiftdt_step1_equals_plain_dt(rng):
+    """step=1, start=0 shiftdt equals the plain DT's values (pass order
+    differs — y-then-x vs x-then-y — but the max-transform is
+    separable, so the values agree; only argmin composition differs)."""
+    from partsbaseddetector_tpu.ops.dt import shiftdt, distance_transform
+    score = rng.standard_normal((11, 12)).astype(np.float32)
+    w = np.array([0.15, 0.03, 0.08, -0.01], np.float32)
+    out_s, _, _ = shiftdt(jnp.asarray(score), jnp.asarray(w),
+                          0, 0, 12, 11, 1)
+    out_d, _, _ = distance_transform(
+        jnp.asarray(score), jnp.asarray(w),
+        jnp.asarray((0, 0), jnp.int32), "reference")
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               atol=1e-4)

@@ -138,3 +138,32 @@ def test_multiplane_removal():
     # most plane points removed; blob retained
     assert len(rest) < H * W * 0.5
     assert (rest[:, 2] < 1.8).sum() > 0.5 * blob_mask.sum()
+
+
+# ------------------------------------------------------------- viz
+
+def test_viz_skeleton_and_model():
+    from partsbaseddetector_tpu.models import synthetic
+    from partsbaseddetector_tpu.utils import viz
+    from partsbaseddetector_tpu.infer.detector import Detection
+    import numpy as np
+
+    model = synthetic.tiny(seed=3)
+    P = model.components[0].nparts
+    parents = [p.parentid for p in model.components[0].parts]
+    boxes = np.stack([np.array([10.0 + 5 * p, 12.0 + 4 * p,
+                                20.0 + 5 * p, 22.0 + 4 * p])
+                      for p in range(P)])
+    det = Detection(score=1.0, component=0, level=0, parts=boxes,
+                    locations=np.zeros((P, 3), np.int32))
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = viz.draw_skeleton(img, [det], parents)
+    assert out.shape == (64, 64, 3) and out.sum() > 0
+
+    montage = viz.visualize_model(model)
+    assert montage.ndim == 2 and montage.dtype == np.uint8
+    assert montage.sum() > 0
+
+    glyph = viz.hog_picture(np.abs(
+        np.random.default_rng(0).standard_normal((3, 4, 9))), bs=10)
+    assert glyph.shape == (30, 40)
