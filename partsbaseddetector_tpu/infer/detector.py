@@ -89,24 +89,22 @@ def _dp_groups(bucket, dp_split: int):
     return groups
 
 
-def _detect_program(image: jnp.ndarray, packed: PackedModel,
-                    plan: PyramidPlan, k_per_level: int,
-                    compose: str,
-                    dt_impl: str = "xla",
-                    part_masks=None,
-                    dp_split: int = 1) -> argmax_ops.Candidates:
-    """The full jitted detection program for one image.
+def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
+                 plan: PyramidPlan):
+    """Stages 1-2 for every bucket (ladder + HOG + filter-bank conv).
 
-    part_masks: optional per-bucket list of (L, P, fh, fw) bool masks of
-    allowed part placements (latent-positive search, train/latent.py)."""
+    Yields (bucket, pdfs, tsizes, scales) per octave bucket, where pdfs
+    (L, fh, fw, F) is NEG-masked beyond each level's true extent so the
+    DT can never pull a padded cell into the true region.  Shared by the
+    single-resolution detect program and the multi-resolution one
+    (infer/multires.py)."""
     binsize = plan.binsize
     norient = packed.norient
     flen = packed.flen
-
-    all_cands: List[argmax_ops.Candidates] = []
     img = image.astype(jnp.float32)
     prev_buf = None            # padded (L, H, W, C) images of prev octave
     prev_levels = None
+    out = []
 
     for bucket in plan.buckets:
         # ---- stage 1a: scale ladder into the bucket buffer, one traced
@@ -136,8 +134,7 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                              jnp.int32)
         pdfs = conv_bank(feats, packed.bank, true_size=tsizes)
 
-        # mask responses beyond each level's true extent so the DT can
-        # never pull a padded cell into the true region
+        # mask responses beyond each level's true extent
         fh, fw = bucket.feat_pad
         masks = np.zeros((len(bucket.levels), fh, fw, 1), np.float32)
         for j, lvl in enumerate(bucket.levels):
@@ -147,6 +144,24 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
 
         scales = jnp.asarray([lvl.scale for lvl in bucket.levels],
                              jnp.float32)
+        out.append((bucket, pdfs, tsizes, scales))
+    return out
+
+
+def _detect_program(image: jnp.ndarray, packed: PackedModel,
+                    plan: PyramidPlan, k_per_level: int,
+                    compose: str,
+                    dt_impl: str = "xla",
+                    part_masks=None,
+                    dp_split: int = 1) -> argmax_ops.Candidates:
+    """The full jitted detection program for one image.
+
+    part_masks: optional per-bucket list of (L, P, fh, fw) bool masks of
+    allowed part placements (latent-positive search, train/latent.py)."""
+    all_cands: List[argmax_ops.Candidates] = []
+
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
+                                                     plan):
         # ---- stages 3-4 per (level group, component); groups re-pad to
         # their own largest level so the DT never pays the octave bound
         bmask = None if part_masks is None else \
@@ -177,6 +192,10 @@ class Detector:
     def __init__(self, model: PartsModel, k_per_level: int = 64,
                  compose: str = "reference", dt_impl: str = "auto",
                  dp_split: int = 3):
+        if model.max_scale() > 0:
+            raise ValueError(
+                "model has parts at multiple resolutions (anchor ds > "
+                "0); use infer.multires.MultiResDetector")
         self.model = model
         self.packed = pack_model(model)
         self.k_per_level = int(k_per_level)

@@ -1,0 +1,233 @@
+"""Multi-resolution mixtures-of-parts detection on TPU.
+
+Parts may live at a FINER pyramid level than their parent (anchor
+ds > 0) — the Matlab detector's multi-resolution capability
+(reference: matlab/detection/detect.m:184-212 with passmsg :230-255 and
+the strided DT matlab/oct/shiftdt.cc) that the C++ port dropped.  The
+oracle counterpart is oracle/multires.py; semantics documented there.
+
+TPU shape of the program:
+
+  * stages 1-2 are shared with the single-resolution detector
+    (infer/detector.pyramid_pdfs): per-octave padded buckets, one
+    MXU conv per bucket;
+  * for root-octave o, a part at absolute scale s reads its response
+    maps from bucket o - s at the SAME slot index (octave bucketing
+    makes level ell - s*interval land exactly one bucket up), sliced to
+    the root bucket's level count — the cross-resolution wiring is pure
+    indexing, no resampling;
+  * the leaf-to-root pass is unrolled over parts (maps of different
+    parts have different shapes, so a lax.scan cannot carry them); each
+    edge message is a strided max-only DT (ops/dt.shiftdt_max) vmapped
+    over levels x mixtures;
+  * backtracking recomputes argmaxes at the K candidate points only
+    (same design as ops/dp.walk_children), with positions mapped through
+    the edge stride: child position = parent position * 2^ds + anchor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from partsbaseddetector_tpu.models.part_tree import (PackedComponent,
+                                                     PackedModel,
+                                                     pack_model)
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.infer.detector import (Detection, Detector,
+                                                   pyramid_pdfs)
+from partsbaseddetector_tpu.infer.pyramid_plan import make_plan
+from partsbaseddetector_tpu.ops import argmax as argmax_ops
+from partsbaseddetector_tpu.ops.common import NEG
+from partsbaseddetector_tpu.ops.dp import _argmax_first, _dt_vals_at
+from partsbaseddetector_tpu.ops.dt import shiftdt_max
+
+
+def _dp_multires(per_bucket, o: int, L: int, comp: PackedComponent,
+                 pscales, parents):
+    """Leaf-to-root pass for root bucket o over its L levels.
+
+    Returns (rootv (L, M?, H, W) reduced -> (L, H, W), rooti, scores
+    per part, tmps per part)."""
+    P, M = comp.filterid.shape
+    scores: List[jnp.ndarray] = []
+    for p in range(P):
+        _, pdfs_s, _, _ = per_bucket[o - pscales[p]]
+        sp = jnp.moveaxis(pdfs_s[:L], -1, 1)[
+            :, comp.filterid[p]]                    # (L, M, Hs, Ws)
+        sp = jnp.where(comp.mix_valid[p][None, :, None, None], sp, NEG)
+        scores.append(sp)
+
+    tmps: List[jnp.ndarray] = [None] * P
+    for p in range(P - 1, 0, -1):
+        par = parents[p]
+        step = 2 ** (pscales[p] - pscales[par])
+        Hp, Wp = scores[par].shape[-2:]
+        w = comp.defw[p]                            # (M, 4)
+        anc = comp.anchor[p].astype(jnp.float32)    # (M, 2)
+
+        def edge(sm, wm, am):
+            return shiftdt_max(sm, wm, am[0], am[1], Wp, Hp, step)
+
+        out, tmp = jax.vmap(lambda sl: jax.vmap(edge)(sl, w, anc))(
+            scores[p])                              # (L,M,Hp,Wp),(L,M,Hp,Wc)
+        tmps[p] = tmp
+        weighted = out[:, None] + \
+            comp.bias[p].T[None, :, :, None, None]  # (L, Mp, Mc, Hp, Wp)
+        maxv = jnp.max(weighted, axis=2)
+        scores[par] = scores[par] + maxv
+
+    rootw = scores[0] + comp.root_bias
+    rootw = jnp.where(comp.mix_valid[0][None, :, None, None], rootw, NEG)
+    rooti = jnp.argmax(rootw, axis=1).astype(jnp.int32)   # (L, H, W)
+    rootv = jnp.max(rootw, axis=1)
+    return rootv, rooti, scores, tmps
+
+
+def _walk_slot(rootv, rooti, scores_slot, tmps_slot,
+               comp: PackedComponent, pscales, parents, thresh,
+               true_size_root, part_scales_slot, k: int,
+               component_index: int, level_index):
+    """Backtracking for ONE root level: top-k roots + strided K-point
+    argmax recomputation down the tree (cf. ops/argmax.backtrack)."""
+    H, W = rootv.shape
+    P = comp.nparts
+    h, wid = true_size_root[0], true_size_root[1]
+    inb = ((jnp.arange(H) < h)[:, None] & (jnp.arange(W) < wid)[None, :])
+    rv = jnp.where(inb, rootv, -jnp.inf)
+
+    k_eff = min(k, H * W)
+    topv, topi = jax.lax.top_k(rv.ravel(), k_eff)
+    if k_eff < k:
+        topv = jnp.concatenate(
+            [topv, jnp.full((k - k_eff,), -jnp.inf, topv.dtype)])
+        topi = jnp.concatenate([topi, jnp.zeros((k - k_eff,), topi.dtype)])
+    ys = (topi // W).astype(jnp.int32)
+    xs = (topi % W).astype(jnp.int32)
+    valid = topv > thresh
+
+    xv = [None] * P
+    yv = [None] * P
+    mv = [None] * P
+    xv[0], yv[0] = xs, ys
+    mv[0] = rooti[ys, xs]
+    for p in range(1, P):
+        par = parents[p]
+        step = float(2 ** (pscales[p] - pscales[par]))
+        w = comp.defw[p]
+        anc = comp.anchor[p].astype(jnp.float32)
+        pxf = xv[par].astype(jnp.float32) * step
+        pyf = yv[par].astype(jnp.float32) * step
+
+        # winning child mixture: strided-DT value at (py, px) per mc,
+        # from the y-pass maxima row at parent y (matlab composition)
+        line = tmps_slot[p][:, yv[par], :]          # (M, K, Wc)
+        sdt_at, _ = _dt_vals_at(
+            line, w[:, 0][:, None], w[:, 1][:, None],
+            pxf[None, :], anc[:, 0][:, None])       # (M, K)
+        weighted = sdt_at + comp.bias[p][:, mv[par]]
+        mc = _argmax_first(weighted, 0)             # (K,)
+
+        # x from the y-pass row at (mc, parent y)
+        row = tmps_slot[p][mc, yv[par], :]          # (K, Wc)
+        _, cx = _dt_vals_at(row, w[mc, 0], w[mc, 1], pxf, anc[mc, 0])
+        # y from the accumulated child-score column at cx
+        col = scores_slot[p][mc, :, cx]             # (K, Hc)
+        _, cy = _dt_vals_at(col, w[mc, 2], w[mc, 3], pyf, anc[mc, 1])
+        xv[p], yv[p], mv[p] = cx, cy, mc
+
+    X = jnp.stack(xv, axis=1)                       # (K, P)
+    Y = jnp.stack(yv, axis=1)
+    Mm = jnp.stack(mv, axis=1)
+    sizes = comp.fsize[jnp.arange(P)[None, :], Mm]  # (K, P)
+    scl = part_scales_slot[None, :]                 # (1, P)
+    x1 = jnp.rint((X - 1) * scl)
+    y1 = jnp.rint((Y - 1) * scl)
+    ext = jnp.rint(sizes * scl)
+    boxes = jnp.stack([x1, y1, x1 + ext - 1, y1 + ext - 1], axis=-1)
+
+    return argmax_ops.Candidates(
+        score=topv.astype(jnp.float32),
+        valid=valid,
+        component=jnp.full((k,), component_index, jnp.int32),
+        level=jnp.broadcast_to(jnp.asarray(level_index, jnp.int32),
+                               (k,)).astype(jnp.int32),
+        boxes=boxes.astype(jnp.float32),
+        loc=jnp.stack([X, Y, Mm], axis=-1).astype(jnp.int32))
+
+
+def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
+                      k_per_level: int) -> argmax_ops.Candidates:
+    per_bucket = pyramid_pdfs(image, packed, plan)
+    smax = max((max(sc) for sc in packed.scale_static), default=0)
+    all_cands: List[argmax_ops.Candidates] = []
+
+    for o in range(smax, len(plan.buckets)):
+        bkt, _, tsizes_o, _ = per_bucket[o]
+        L = len(bkt.levels)
+        levels = jnp.arange(L, dtype=jnp.int32) + bkt.levels[0].index
+        for c, comp in enumerate(packed.components):
+            pscales = packed.scale_static[c]
+            parents = packed.parent_static[c]
+            rootv, rooti, scores, tmps = _dp_multires(
+                per_bucket, o, L, comp, pscales, parents)
+            # per-part pixel stride at each slot: the scale vector of
+            # the part's own bucket, sliced to this bucket's levels
+            pscl = jnp.stack(
+                [per_bucket[o - pscales[p]][3][:L]
+                 for p in range(comp.nparts)], axis=1)   # (L, P)
+
+            # tmps[0] is never read (the root has no incoming message);
+            # a zero placeholder keeps the pytree rectangular for vmap
+            tmps_full = tuple([jnp.zeros_like(tmps[1])] + tmps[1:]) \
+                if comp.nparts > 1 else (jnp.zeros_like(rootv[:, None]),)
+            fn = jax.vmap(lambda rv, ri, sc, tm, ts, ps, li: _walk_slot(
+                rv, ri, sc, tm, comp, pscales, parents, packed.thresh,
+                ts, ps, k_per_level, c, li))
+            cands = fn(rootv, rooti, tuple(scores), tmps_full,
+                       tsizes_o, pscl, levels)
+            all_cands.append(jax.tree.map(
+                lambda x: x.reshape((L * k_per_level,) + x.shape[2:]),
+                cands))
+
+    merged = argmax_ops.concat_candidates(all_cands)
+    return argmax_ops.sort_candidates(merged)
+
+
+class MultiResDetector:
+    """Facade for multi-resolution models (max_scale() > 0); also valid
+    for single-resolution models, where it reproduces the Matlab-mode
+    semantics (same values as Detector; argmax tie order may differ).
+
+    >>> det = MultiResDetector(model)
+    >>> detections = det.detect(image)
+    """
+
+    def __init__(self, model: PartsModel, k_per_level: int = 64):
+        self.model = model
+        self.packed = pack_model(model)
+        self.k_per_level = int(k_per_level)
+        self._compiled: Dict[Tuple[int, int], object] = {}
+
+    def detect_raw(self, image) -> argmax_ops.Candidates:
+        image = jnp.asarray(image)
+        key = tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = make_plan(image.shape[:2], self.model.binsize,
+                             self.model.interval)
+            fn = jax.jit(partial(_multires_program, plan=plan,
+                                 k_per_level=self.k_per_level))
+            self._compiled[key] = fn
+        return self._compiled[key](image, self.packed)
+
+    def detect(self, image, max_detections=None) -> List[Detection]:
+        return Detector.candidates_to_detections(
+            self.detect_raw(image), max_detections)
+
+    # same facade surface as Detector (demo CLI, streaming pipeline)
+    candidates_to_detections = staticmethod(
+        Detector.candidates_to_detections)

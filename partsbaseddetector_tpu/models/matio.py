@@ -90,9 +90,18 @@ def load_mat(path: str) -> PartsModel:
             w = np.array([w[0], 0.0, 0.0, 0.0])
         defw.append(w[:4])
         a = np.asarray(_field(d, "anchor"), dtype=np.float64).ravel()
-        # 1-based -> 0-based (reference: src/MatlabIOModel.cpp:176)
-        anchors.append(np.array([int(round(a[0])) - 1,
-                                 int(round(a[1])) - 1], dtype=np.int64))
+        # 1-based -> 0-based (reference: src/MatlabIOModel.cpp:176);
+        # a 3rd component is the scale offset ds (NOT an index — no
+        # re-basing; matlab/detection/detect.m:201-204), kept only when
+        # nonzero so single-resolution models stay in the (2,) schema
+        if a.size >= 3 and int(round(a[2])) != 0:
+            anchors.append(np.array([int(round(a[0])) - 1,
+                                     int(round(a[1])) - 1,
+                                     int(round(a[2]))], dtype=np.int64))
+        else:
+            anchors.append(np.array([int(round(a[0])) - 1,
+                                     int(round(a[1])) - 1],
+                                    dtype=np.int64))
 
     # bias: struct array with field w (scalar or block written flat)
     bias_rec = _field(model, "bias").ravel()

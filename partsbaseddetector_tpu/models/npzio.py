@@ -44,8 +44,12 @@ def save_npz(path: str, model: PartsModel) -> None:
         "biasw": np.asarray(model.biasw, dtype=np.float64),
         "defw": np.stack([np.asarray(d, dtype=np.float64)
                           for d in model.defw]),
-        "anchors": np.stack([np.asarray(a, dtype=np.int64)
-                             for a in model.anchors]),
+        # anchors stored (N, 3): (ax, ay, ds); ds = 0 for plain 2-comp
+        # anchors (multi-resolution models carry ds — schema.anchor_ds)
+        "anchors": np.stack([
+            np.concatenate([np.asarray(a, dtype=np.int64).ravel(),
+                            np.zeros(3, np.int64)])[:3]
+            for a in model.anchors]),
     }
     for i, f in enumerate(model.filters):
         arrays[f"filter_{i}"] = np.asarray(f, dtype=np.float32)
@@ -70,7 +74,8 @@ def load_npz(path: str) -> PartsModel:
         norient=manifest["norient"], flen=manifest["flen"],
         filters=filters,
         defw=list(data["defw"]),
-        anchors=list(data["anchors"]),
+        anchors=[a[:2] if (a.size < 3 or a[2] == 0) else a
+                 for a in data["anchors"]],
         biasw=data["biasw"],
         components=components)
     model.validate()

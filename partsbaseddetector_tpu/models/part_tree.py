@@ -85,6 +85,12 @@ class PackedModel:
     # host-side copies needed for static (unrolled) tree walks
     parent_static: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata={"static": True})
+    # per-component, per-part absolute scale offsets (octaves finer than
+    # the root; all zeros for single-resolution models — see
+    # PartsModel.part_scales).  Static: they select which bucket's
+    # response maps feed each part in the multi-resolution DP
+    scale_static: Tuple[Tuple[int, ...], ...] = dataclasses.field(
+        default=(), metadata={"static": True})
 
     @property
     def nfilters(self) -> int:
@@ -117,7 +123,8 @@ def pack_model(model: PartsModel, dtype=jnp.float32) -> PackedModel:
                 mm = min(m, n - 1)
                 filterid[p, m] = part.filterid[mm]
                 defw[p, m] = np.asarray(model.defw[part.defid[mm]])
-                anchor[p, m] = np.asarray(model.anchors[part.defid[mm]])
+                anchor[p, m] = np.asarray(
+                    model.anchors[part.defid[mm]]).ravel()[:2]
                 fsize[p, m] = model.filters[part.filterid[mm]].shape[0]
             if p > 0:
                 for mc in range(n):
@@ -153,4 +160,6 @@ def pack_model(model: PartsModel, dtype=jnp.float32) -> PackedModel:
         thresh=jnp.asarray(float(model.thresh), dtype),
         interval=int(model.interval), binsize=int(model.binsize),
         norient=int(model.norient), flen=int(model.flen),
-        name=model.name, parent_static=tuple(parent_static))
+        name=model.name, parent_static=tuple(parent_static),
+        scale_static=tuple(tuple(model.part_scales(c))
+                           for c in range(model.ncomponents)))

@@ -86,7 +86,9 @@ class PartsModel:
     flen: int
     filters: List[np.ndarray]        # each (h, w, flen) float64/float32
     defw: List[np.ndarray]           # each (4,) float
-    anchors: List[np.ndarray]        # each (2,) int: (ax, ay), 0-based
+    anchors: List[np.ndarray]        # each (2,) or (3,) int:
+                                     # (ax, ay[, ds]), 0-based positions;
+                                     # ds = scale offset vs parent
     biasw: np.ndarray                # (nbias,) float
     components: List[ComponentSpec]
 
@@ -114,8 +116,13 @@ class PartsModel:
             if np.asarray(d).shape != (4,):
                 raise ValueError("defw entries must have shape (4,)")
         for a in self.anchors:
-            if np.asarray(a).shape != (2,):
-                raise ValueError("anchors entries must have shape (2,)")
+            if np.asarray(a).shape not in ((2,), (3,)):
+                raise ValueError("anchors entries must have shape (2,) "
+                                 "or (3,) — (ax, ay[, ds]); ds is the "
+                                 "part's scale offset relative to its "
+                                 "parent (matlab/detection/detect.m:"
+                                 "201-212; 0 for single-resolution "
+                                 "models)")
         nf, nd, nb = len(self.filters), len(self.defw), len(self.biasw)
         for c, comp in enumerate(self.components):
             for p, part in enumerate(comp.parts):
@@ -156,6 +163,35 @@ class PartsModel:
         """(nfilters, 2) array of (rows, cols)."""
         return np.array([[f.shape[0], f.shape[1]] for f in self.filters],
                         dtype=np.int32)
+
+    def anchor_ds(self, defid: int) -> int:
+        """Scale offset of a def's child part relative to its parent
+        (the 3rd anchor component, matlab/detection/detect.m:201-204;
+        0 when absent — all C++-format models)."""
+        a = np.asarray(self.anchors[defid]).ravel()
+        return int(a[2]) if a.size >= 3 else 0
+
+    def part_scales(self, c: int) -> List[int]:
+        """Absolute scale offset per part (octaves finer than the root):
+        scale[p] = ds(p) + scale[parent(p)] (matlab/detection/detect.m:
+        184-204).  All zeros for single-resolution models.  Mixtures of
+        one part must agree on ds (validated here)."""
+        comp = self.components[c]
+        scales = [0] * comp.nparts
+        for p in range(1, comp.nparts):
+            part = comp.parts[p]
+            dss = {self.anchor_ds(d) for d in part.defid}
+            if len(dss) > 1:
+                raise ValueError(
+                    f"part {p}: mixtures disagree on scale offset {dss}")
+            scales[p] = dss.pop() + scales[part.parentid]
+        return scales
+
+    def max_scale(self) -> int:
+        """Largest absolute part scale offset across components (0 for
+        single-resolution models)."""
+        return max((s for c in range(self.ncomponents)
+                    for s in self.part_scales(c)), default=0)
 
 
 def flatten_filter(f: np.ndarray) -> np.ndarray:

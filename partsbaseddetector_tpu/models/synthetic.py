@@ -57,8 +57,13 @@ def make_model(name: str = "synthetic",
                root_nmixtures: int = 1,
                seed: int = 0,
                parent: Optional[Sequence[int]] = None,
+               part_ds: Optional[Sequence[int]] = None,
                dtype=np.float64) -> PartsModel:
-    """Generate a random but structurally-valid PartsModel."""
+    """Generate a random but structurally-valid PartsModel.
+
+    part_ds: optional per-part scale offset relative to the parent
+    (the 3rd anchor component, matlab/detection/detect.m:201-204);
+    nonzero entries make a multi-resolution model."""
     rng = np.random.default_rng(seed)
     if parent is None:
         parent = _chain_tree(nparts, rng)
@@ -100,6 +105,9 @@ def make_model(name: str = "synthetic",
                               rng.uniform(0.01, 0.12),
                               rng.uniform(-0.05, 0.05)])
                 anc = rng.integers(-4, 5, size=2).astype(np.int64)
+                if part_ds is not None and int(part_ds[p]) != 0:
+                    anc = np.concatenate(
+                        [anc, np.array([int(part_ds[p])], np.int64)])
             defid.append(len(defw))
             defw.append(w)
             anchors.append(anc)
@@ -145,6 +153,24 @@ def face_like(seed: int = 0, **kw) -> PartsModel:
     kw.setdefault("binsize", 4)
     kw.setdefault("interval", 5)
     return make_model(name="face_like", seed=seed, **kw)
+
+
+def tiny_multires(seed: int = 0, **kw) -> PartsModel:
+    """Small multi-resolution model: root at the coarse octave, all
+    child parts one octave finer (the DPM-style layout the Matlab
+    detector supports via anchor ds, matlab/detection/detect.m:198-212,
+    dropped by the C++ port)."""
+    kw.setdefault("nparts", 4)
+    kw.setdefault("nmixtures", 2)
+    kw.setdefault("root_nmixtures", 2)
+    kw.setdefault("filter_size", 3)
+    kw.setdefault("norient", 6)
+    kw.setdefault("flen", 14)
+    kw.setdefault("binsize", 4)
+    kw.setdefault("interval", 3)
+    kw.setdefault("parent", [-1, 0, 1, 1])
+    kw.setdefault("part_ds", [0, 1, 0, 0])   # part 1 one octave finer
+    return make_model(name="tiny_multires", seed=seed, **kw)
 
 
 def tiny(seed: int = 0, **kw) -> PartsModel:

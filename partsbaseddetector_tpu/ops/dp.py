@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from partsbaseddetector_tpu.models.part_tree import PackedComponent
 from partsbaseddetector_tpu.ops.common import NEG
-from partsbaseddetector_tpu.ops.dt import dt_max_1d_last
+from partsbaseddetector_tpu.ops.dt import dt_max_x, dt_max_y
 
 
 class DPResult(NamedTuple):
@@ -93,13 +93,12 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
         s = scores[p]                                  # (M, H, W)
         w = comp.defw[p]                               # (M, 4)
         anc = comp.anchor[p]                           # (M, 2)
-        # x pass along rows (last axis), vmapped over mixtures
-        tmp = jax.vmap(lambda sm, wm, am: dt_max_1d_last(
+        # x then y pass, both transpose-free with sublane reductions
+        # (ops/dt.dt_max_x/dt_max_y), vmapped over mixtures
+        tmp = jax.vmap(lambda sm, wm, am: dt_max_x(
             sm, wm[0], wm[1], am[0]))(s, w, anc)       # (M, H, W)
-        # y pass along columns
-        sdt_t = jax.vmap(lambda tm, wm, am: dt_max_1d_last(
-            tm.T, wm[2], wm[3], am[1]))(tmp, w, anc)   # (M, W, H)
-        sdt = jnp.swapaxes(sdt_t, 1, 2)
+        sdt = jax.vmap(lambda tm, wm, am: dt_max_y(
+            tm, wm[2], wm[3], am[1]))(tmp, w, anc)     # (M, H, W)
         # child->parent mixture-pair bias, max over child mixtures
         weighted = sdt[None, :, :, :] + \
             comp.bias[p].T[:, :, None, None]           # (Mp, Mc, H, W)

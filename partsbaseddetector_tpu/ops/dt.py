@@ -54,6 +54,43 @@ def dt_max_1d_last(src: jnp.ndarray, w0, w1, offset):
     return jnp.max(src[..., None, :] + pen, axis=-1)
 
 
+def dt_max_x(src: jnp.ndarray, w0, w1, ax):
+    """Max-only x pass over (..., H, W) maps, TPU-tiled: the candidate
+    tensor is laid out (..., H, Cx, Q) so the reduction runs over the
+    SUBLANE axis while the output position q stays on lanes — on TPU
+    this lowers several times faster than a lane-axis reduce and needs
+    no transposes (the profiler attributed ~25% of detect's device time
+    to lane reduces + layout copies of the transpose formulation).
+
+    out[..., h, q] = max_cx src[..., h, cx] - w0 d^2 - w1 d,
+    d = q + ax - cx.  Identical values to dt_max_1d_last."""
+    n = src.shape[-1]
+    dtype = src.dtype
+    q = jnp.arange(n, dtype=dtype)[None, :]
+    cx = jnp.arange(n, dtype=dtype)[:, None]
+    d = q + jnp.asarray(ax, dtype) - cx                  # (Cx, Q)
+    pen = -jnp.asarray(w0, dtype) * d * d - jnp.asarray(w1, dtype) * d
+    cand = src[..., :, None] + pen                       # (..., H, Cx, Q)
+    return jnp.max(cand, axis=-2)
+
+
+def dt_max_y(src: jnp.ndarray, w2, w3, ay):
+    """Max-only y pass over (..., H, W) maps without transposing: the
+    candidate tensor is (..., Py, Cy, Px) — reduction over sublanes,
+    columns px on lanes.
+
+    out[..., py, px] = max_cy src[..., cy, px] - w2 d^2 - w3 d,
+    d = py + ay - cy."""
+    h = src.shape[-2]
+    dtype = src.dtype
+    py = jnp.arange(h, dtype=dtype)[:, None]
+    cy = jnp.arange(h, dtype=dtype)[None, :]
+    d = py + jnp.asarray(ay, dtype) - cy                 # (Py, Cy)
+    pen = -jnp.asarray(w2, dtype) * d * d - jnp.asarray(w3, dtype) * d
+    cand = src[..., None, :, :] + pen[..., :, :, None]   # (..., Py, Cy, Px)
+    return jnp.max(cand, axis=-2)
+
+
 def _pass_1d(src: jnp.ndarray, a, b, offset):
     """One 1-D max-transform pass along the last axis.
     src: (..., R, N).  Returns (dst, argmax) each (..., R, N) where
@@ -147,6 +184,50 @@ def _shiftdt_pass(src: jnp.ndarray, a, b, shift, dlen: int, step):
     rev = jnp.where(cand >= dst[..., None], n - 1 - iota, jnp.int32(-1))
     idx = (n - 1) - jnp.max(rev, axis=-1)
     return dst, idx.astype(jnp.int32)
+
+
+def shiftdt_max_y(src: jnp.ndarray, w2, w3, starty, leny: int, step):
+    """Max-only strided y pass: src (..., H, W) ->
+    out[..., i, px] = max_cy src[..., cy, px] - w2 d^2 - w3 d,
+    d = starty + i*step - cy.  Sublane reduction, px on lanes
+    (see dt_max_y)."""
+    h = src.shape[-2]
+    dtype = src.dtype
+    py = jnp.arange(leny, dtype=dtype)[:, None]
+    cy = jnp.arange(h, dtype=dtype)[None, :]
+    d = jnp.asarray(starty, dtype) + py * jnp.asarray(step, dtype) - cy
+    pen = -jnp.asarray(w2, dtype) * d * d - jnp.asarray(w3, dtype) * d
+    cand = src[..., None, :, :] + pen[..., :, :, None]  # (.., Py, Cy, Px)
+    return jnp.max(cand, axis=-2)
+
+
+def shiftdt_max_x(src: jnp.ndarray, w0, w1, startx, lenx: int, step):
+    """Max-only strided x pass: src (..., H, W) ->
+    out[..., h, j] = max_cx src[..., h, cx] - w0 d^2 - w1 d,
+    d = startx + j*step - cx.  Sublane reduction (see dt_max_x)."""
+    n = src.shape[-1]
+    dtype = src.dtype
+    q = jnp.arange(lenx, dtype=dtype)[None, :]
+    cx = jnp.arange(n, dtype=dtype)[:, None]
+    d = jnp.asarray(startx, dtype) + q * jnp.asarray(step, dtype) - cx
+    pen = -jnp.asarray(w0, dtype) * d * d - jnp.asarray(w1, dtype) * d
+    cand = src[..., :, None] + pen                      # (.., H, Cx, Q)
+    return jnp.max(cand, axis=-2)
+
+
+def shiftdt_max(src: jnp.ndarray, w: jnp.ndarray, startx, starty,
+                lenx: int, leny: int, step=1):
+    """Max-only forward pass of :func:`shiftdt` (the multi-resolution
+    DP's message op): y pass first (matlab kernel order,
+    matlab/oct/shiftdt.cc:97-102), then x.
+
+    Returns (out, tmp): out (..., leny, lenx) message on the parent
+    grid; tmp (..., leny, W) y-pass maxima (kept for the K-point argmax
+    recomputation at backtrack time, see infer/multires.py)."""
+    w = jnp.asarray(w)
+    tmp = shiftdt_max_y(src, w[..., 2], w[..., 3], starty, leny, step)
+    out = shiftdt_max_x(tmp, w[..., 0], w[..., 1], startx, lenx, step)
+    return out, tmp
 
 
 def shiftdt(score: jnp.ndarray, w: jnp.ndarray, startx, starty,

@@ -62,7 +62,12 @@ def main(argv=None) -> int:
     im = load_image(args.image)
     depth = load_depth(args.depth) if args.depth else None
 
-    det = Detector(model, k_per_level=args.k_per_level)
+    if model.max_scale() > 0:
+        from partsbaseddetector_tpu.infer.multires import MultiResDetector
+        det = MultiResDetector(model, k_per_level=args.k_per_level)
+        print("multi-resolution model: using MultiResDetector")
+    else:
+        det = Detector(model, k_per_level=args.k_per_level)
     t0 = time.time()
     cands = det.detect_raw(im)
     if args.nms is not None:
