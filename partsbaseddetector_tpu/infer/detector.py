@@ -230,6 +230,27 @@ class Detector:
         fn, _ = self._get_fn(image.shape[:2])
         return fn(image, self.packed)
 
+    def detect_batch_raw(self, images) -> argmax_ops.Candidates:
+        """Single-chip micro-batched detection: one device dispatch for a
+        (B, H, W, 3) stack of frames (vmap of the detect program over the
+        batch axis).  Amortizes per-dispatch host overhead and gives XLA
+        a batch axis to overlap the small upper-pyramid levels across
+        frames; the per-frame math is identical to detect_raw.  Returns
+        Candidates with a leading (B, ...) axis."""
+        images = jnp.asarray(images)
+        key = ("batch", images.shape[0]) + tuple(images.shape[1:3])
+        if key not in self._compiled:
+            plan = self.plan_for(images.shape[1:3])
+            single = partial(_detect_program, plan=plan,
+                             k_per_level=self.k_per_level,
+                             compose=self.compose, dt_impl=self.dt_impl,
+                             dp_split=self.dp_split)
+            fn = jax.jit(lambda ims, packed: jax.vmap(
+                lambda im: single(im, packed))(ims))
+            self._compiled[key] = (fn, plan)
+        fn, _ = self._compiled[key]
+        return fn(images, self.packed)
+
     def detect_masked_raw(self, image, part_masks
                           ) -> argmax_ops.Candidates:
         """Detection with per-part placement masks (latent-positive

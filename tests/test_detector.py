@@ -92,3 +92,25 @@ def test_detector_sorted_descending():
     scores = [d.score for d in dets]
     assert scores == sorted(scores, reverse=True)
     assert len(dets) > 0
+
+
+def test_detect_batch_matches_single():
+    """detect_batch_raw (one dispatch for B frames) must reproduce
+    detect_raw frame by frame."""
+    model = synthetic.tiny(seed=5)
+    model.thresh = -1e9
+    rng = np.random.default_rng(11)
+    ims = rng.random((3, 64, 64, 3)).astype(np.float32) * 255
+    det = Detector(model, k_per_level=8)
+    batched = det.detect_batch_raw(ims)
+    for i in range(ims.shape[0]):
+        single = det.detect_raw(ims[i])
+        # vmap may change conv/DT reduction order; 5e-4 is the repo-wide
+        # float parity tolerance (see test_detector_matches_oracle)
+        np.testing.assert_allclose(np.asarray(batched.score[i]),
+                                   np.asarray(single.score),
+                                   rtol=0, atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(batched.valid[i]),
+                                      np.asarray(single.valid))
+        np.testing.assert_array_equal(np.asarray(batched.loc[i]),
+                                      np.asarray(single.loc))

@@ -71,12 +71,15 @@ def build(stage, plan, packed):
 
 
 def timeit(fn, *args):
-    r = fn(*args)
-    jax.block_until_ready(r)
+    # force a host fetch of the scalar: through the axon tunnel
+    # block_until_ready returns immediately (experimental platform), so
+    # np.asarray is the only reliable completion barrier.  The constant
+    # round-trip cost cancels in the cumulative differences.
+    np.asarray(fn(*args))
     ts = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         ts.append(time.time() - t0)
     return min(ts)
 
