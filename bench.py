@@ -29,7 +29,8 @@ import time
 import numpy as np
 
 IMG = (480, 640)
-FRAMES = 16
+FRAMES = 32
+BATCH = 8
 
 
 def measure_tpu_fps() -> dict:
@@ -43,13 +44,21 @@ def measure_tpu_fps() -> dict:
     rng = np.random.default_rng(0)
     frames = [(rng.random(IMG + (3,)) * 255).astype(np.uint8)
               for _ in range(FRAMES)]
+    batches = [np.stack(frames[i:i + BATCH])
+               for i in range(0, FRAMES, BATCH)]
 
+    # micro-batched serving program (one dispatch per BATCH frames —
+    # the serving path of infer/stream.StreamingDetector.stream)
     t0 = time.time()
-    c = det.detect_raw(frames[0])
+    c = det.detect_batch_raw(batches[0])
     np.asarray(c.score)
     compile_s = time.time() - t0
 
     # single-frame latency (synchronous put -> detect -> fetch)
+    t0 = time.time()
+    c = det.detect_raw(frames[0])
+    np.asarray(c.score)
+    compile_single_s = time.time() - t0
     lat = []
     for _ in range(4):
         t0 = time.time()
@@ -57,11 +66,12 @@ def measure_tpu_fps() -> dict:
         np.asarray(c.score)
         lat.append(time.time() - t0)
 
-    # streaming throughput: puts, detects, and fetches pipelined
+    # streaming throughput: micro-batched dispatches, puts and fetches
+    # pipelined against device compute
     def run_stream():
         t0 = time.time()
-        devs = [jax.device_put(f) for f in frames]
-        outs = [det.detect_raw(d) for d in devs]
+        devs = [jax.device_put(b) for b in batches]
+        outs = [det.detect_batch_raw(d) for d in devs]
         for o in outs:
             o.score.copy_to_host_async()
         scores = [np.asarray(o.score) for o in outs]
@@ -75,8 +85,10 @@ def measure_tpu_fps() -> dict:
         "fps": 1.0 / best,
         "latency_s": min(lat),
         "compile_s": compile_s,
+        "compile_single_s": compile_single_s,
         "device": str(jax.devices()[0]),
         "frames": FRAMES,
+        "batch": BATCH,
     }
 
 

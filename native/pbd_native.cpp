@@ -358,9 +358,16 @@ struct NativeModel {
   std::vector<int> anchor;            // (P*M, 2)
   std::vector<float> bias;            // (P, M, M) child x parent
   float root_bias = 0.f;
+  std::vector<float> root_bias_v;     // optional per-root-mixture bias
 
   const float* filter(int p, int m) const {
     return filters.data() + ((size_t)p * nmix + m) * fsize * fsize * flen;
+  }
+  // the reference adds the FIRST root mixture's bias to every root
+  // mixture (src/DynamicProgram.cpp:163-170: `T bias = root.bias(0)[0]`)
+  // — a quirk kept for parity, so the mixture index is ignored
+  float rbias(int) const {
+    return root_bias_v.empty() ? root_bias : root_bias_v[0];
   }
 };
 
@@ -421,8 +428,11 @@ DetectStats detect(const NativeModel& md, const Image& im) {
 #endif
   for (int i = 0; i < std::min(md.interval, nscales); ++i) {
     double s = 1.0 / std::pow(sfactor, i);
-    Image cur = resize_linear(im, round_half_even(im.h * s),
-                              round_half_even(im.w * s));
+    // target sizes in f32, matching cv::Size_<float> -> Size conversion
+    // (and infer/pyramid_plan._cv_round_f32)
+    Image cur = resize_linear(
+        im, (int)std::nearbyintf((float)im.h * (float)s),
+        (int)std::nearbyintf((float)im.w * (float)s));
     levels[i] = cur;
     scales[i] = (float)(std::pow(sfactor, i) * md.binsize);
     for (int j = i + md.interval; j < nscales; j += md.interval) {
@@ -494,7 +504,7 @@ DetectStats detect(const NativeModel& md, const Image& im) {
       float bv = -1e30f;
       for (int m = 0; m < md.nmix; ++m) {
         const Plane& pm = acc[0].empty() ? pdfs[n][m] : acc[0][m];
-        float v = pm.data[i] + md.root_bias;
+        float v = pm.data[i] + md.rbias(m);
         if (v > bv) bv = v;
       }
       if (bv > md.thresh) ++total_cand;
@@ -504,6 +514,169 @@ DetectStats detect(const NativeModel& md, const Image& im) {
   st.ncandidates = total_cand;
   st.best = best;
   return st;
+}
+
+// ------------------------------------------------- candidate extraction
+
+// One detection candidate: root score, pyramid level, and per-part
+// (x, y, mixture) feature-grid locations (the reference's Candidate
+// content before box conversion, src/DynamicProgram.cpp:213-251).
+struct NativeCandidate {
+  float score = 0.f;
+  int level = 0;
+  std::vector<int32_t> loc;   // (P, 3): x, y, m
+};
+
+// Full pipeline for one image, RECORDING the DP argmax tables and
+// backtracking the top-k root locations per scale — the reference's
+// DynamicProgram::min + argmin pair (src/DynamicProgram.cpp:66-255),
+// used for ctypes cross-checking against the JAX detector.
+void detect_candidates(const NativeModel& md, const Image& im,
+                       int k_per_level,
+                       std::vector<NativeCandidate>& out) {
+  const double sfactor = std::pow(2.0, 1.0 / md.interval);
+  const int nscales =
+      1 + (int)std::floor(std::log(std::min(im.h, im.w) / (5.0 * md.binsize)) /
+                          std::log(sfactor));
+
+  // ---- pyramid ladder + HOG + conv (identical to detect())
+  std::vector<Image> levels(nscales);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int i = 0; i < std::min(md.interval, nscales); ++i) {
+    double s = 1.0 / std::pow(sfactor, i);
+    Image cur = resize_linear(
+        im, (int)std::nearbyintf((float)im.h * (float)s),
+        (int)std::nearbyintf((float)im.w * (float)s));
+    levels[i] = cur;
+    for (int j = i + md.interval; j < nscales; j += md.interval) {
+      cur = pyr_down(cur);
+      levels[j] = cur;
+    }
+  }
+  std::vector<Image> feats(nscales);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int n = 0; n < nscales; ++n)
+    feats[n] = hog(levels[n], md.binsize, md.norient);
+
+  const int F = md.nparts * md.nmix;
+  std::vector<std::vector<Plane>> pdfs(nscales, std::vector<Plane>(F));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int f = 0; f < F; ++f)
+    for (int n = 0; n < nscales; ++n)
+      pdfs[n][f] = correlate(feats[n], md.filters.data() +
+                                 (size_t)f * md.fsize * md.fsize * md.flen,
+                             md.fsize, md.fsize);
+
+  // ---- DP with stored Ix/Iy/Ik tables + per-scale top-k backtracking
+  // (ref: src/DynamicProgram.cpp:80-87 OMP over scales; tables at
+  // :110-151; argmin walk at :208-251)
+  std::vector<std::vector<NativeCandidate>> per_scale(nscales);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int n = 0; n < nscales; ++n) {
+    const int H = feats[n].h, W = feats[n].w;
+    if (H == 0 || W == 0) continue;
+    const int HW = H * W;
+    const int P = md.nparts, M = md.nmix;
+    std::vector<std::vector<Plane>> acc(P);
+    // tables[p][mp]: child location/mixture chosen at each parent cell
+    std::vector<std::vector<std::vector<int32_t>>> Ix(P), Iy(P), Ik(P);
+    for (int p = P - 1; p > 0; --p) {
+      std::vector<Plane> sdt(M);
+      std::vector<std::vector<int32_t>> ix(M), iy(M);
+      for (int mc = 0; mc < M; ++mc) {
+        const Plane& sin = acc[p].empty() ? pdfs[n][p * M + mc] : acc[p][mc];
+        const float* w = md.defw.data() + ((size_t)p * M + mc) * 4;
+        const int* an = md.anchor.data() + ((size_t)p * M + mc) * 2;
+        dt2d(sin, w, an[0], an[1], sdt[mc], ix[mc], iy[mc]);
+      }
+      const int par = md.parent[p];
+      if (acc[par].empty()) {
+        acc[par].resize(M);
+        for (int m = 0; m < M; ++m) acc[par][m] = pdfs[n][par * M + m];
+      }
+      Ix[p].assign(M, std::vector<int32_t>(HW));
+      Iy[p].assign(M, std::vector<int32_t>(HW));
+      Ik[p].assign(M, std::vector<int32_t>(HW));
+      for (int mp = 0; mp < M; ++mp) {
+        Plane& dst = acc[par][mp];
+        for (int i = 0; i < HW; ++i) {
+          float bv = -1e30f;
+          int bk = 0;
+          for (int mc = 0; mc < M; ++mc) {
+            float v = sdt[mc].data[i] +
+                      md.bias[((size_t)p * M + mc) * M + mp];
+            if (v > bv) { bv = v; bk = mc; }
+          }
+          dst.data[i] += bv;
+          Ik[p][mp][i] = bk;
+          Ix[p][mp][i] = ix[bk][i];
+          Iy[p][mp][i] = iy[bk][i];
+        }
+      }
+      acc[p].clear();
+      acc[p].shrink_to_fit();
+    }
+    // root reduction (ref: src/DynamicProgram.cpp:162-171)
+    std::vector<float> rootv(HW);
+    std::vector<int32_t> rooti(HW);
+    for (int i = 0; i < HW; ++i) {
+      float bv = -1e30f;
+      int bm = 0;
+      for (int m = 0; m < M; ++m) {
+        const Plane& pm = acc[0].empty() ? pdfs[n][m] : acc[0][m];
+        float v = pm.data[i] + md.rbias(m);
+        if (v > bv) { bv = v; bm = m; }
+      }
+      rootv[i] = bv;
+      rooti[i] = bm;
+    }
+    // top-k cells by (score desc, index asc) — deterministic, the same
+    // order lax.top_k produces
+    std::vector<int> order(HW);
+    for (int i = 0; i < HW; ++i) order[i] = i;
+    const int k = std::min(k_per_level, HW);
+    std::partial_sort(order.begin(), order.begin() + k, order.end(),
+                      [&](int a, int b) {
+                        if (rootv[a] != rootv[b]) return rootv[a] > rootv[b];
+                        return a < b;
+                      });
+    for (int r = 0; r < k; ++r) {
+      const int i0 = order[r];
+      if (!(rootv[i0] > md.thresh)) break;  // sorted: rest are below too
+      NativeCandidate cand;
+      cand.score = rootv[i0];
+      cand.level = n;
+      cand.loc.assign((size_t)P * 3, 0);
+      cand.loc[0] = i0 % W;
+      cand.loc[1] = i0 / W;
+      cand.loc[2] = rooti[i0];
+      // root -> leaf walk: parts are topologically ordered, so the
+      // parent is always resolved first (ref: src/DynamicProgram.cpp:
+      // 219-235)
+      for (int p = 1; p < P; ++p) {
+        const int par = md.parent[p];
+        const int px = cand.loc[(size_t)par * 3 + 0];
+        const int py = cand.loc[(size_t)par * 3 + 1];
+        const int mp = cand.loc[(size_t)par * 3 + 2];
+        const int idx = py * W + px;
+        cand.loc[(size_t)p * 3 + 0] = Ix[p][mp][idx];
+        cand.loc[(size_t)p * 3 + 1] = Iy[p][mp][idx];
+        cand.loc[(size_t)p * 3 + 2] = Ik[p][mp][idx];
+      }
+      per_scale[n].push_back(std::move(cand));
+    }
+  }
+  out.clear();
+  for (int n = 0; n < nscales; ++n)
+    for (auto& c : per_scale[n]) out.push_back(std::move(c));
 }
 
 }  // namespace pbd
@@ -573,6 +746,57 @@ int pbd_detect_stats(const float* image, int h, int w, int c,
   pbd::DetectStats st = pbd::detect(md, im);
   if (best_out) *best_out = st.best;
   return st.ncandidates;
+}
+
+// number of pyramid levels for an image/model combination
+// (ref: src/HOGFeatures.cpp:98-99)
+int pbd_nscales(int h, int w, int binsize, int interval) {
+  const double sfactor = std::pow(2.0, 1.0 / interval);
+  return 1 + (int)std::floor(std::log(std::min(h, w) / (5.0 * binsize)) /
+                             std::log(sfactor));
+}
+
+// full detection with candidate extraction (for ctypes cross-checking
+// against the JAX detector).  image: HWC float32.  Model arrays as in
+// pbd_detect_stats plus a per-root-mixture bias vector.  Writes up to
+// `cap` candidates (scores desc within each level, levels ascending):
+//   out_score[i], out_level[i], out_loc[i*P*3 + p*3 + {0,1,2}] = x, y, m
+// Returns the number written, or -1 on error.
+int pbd_detect_candidates(const float* image, int h, int w, int c,
+                          int nparts, int nmix, int fsize, int flen,
+                          int norient, int binsize, int interval,
+                          float thresh, const int* parent,
+                          const float* filters, const float* defw,
+                          const int* anchor, const float* bias,
+                          const float* root_bias, int k_per_level,
+                          float* out_score, int32_t* out_level,
+                          int32_t* out_loc, int cap) {
+  if (!image || !parent || !filters || !defw || !anchor || !bias ||
+      !root_bias || cap <= 0)
+    return -1;
+  pbd::NativeModel md;
+  md.nparts = nparts; md.nmix = nmix; md.fsize = fsize; md.flen = flen;
+  md.norient = norient; md.binsize = binsize; md.interval = interval;
+  md.thresh = thresh;
+  md.parent.assign(parent, parent + nparts);
+  md.filters.assign(filters,
+                    filters + (size_t)nparts * nmix * fsize * fsize * flen);
+  md.defw.assign(defw, defw + (size_t)nparts * nmix * 4);
+  md.anchor.assign(anchor, anchor + (size_t)nparts * nmix * 2);
+  md.bias.assign(bias, bias + (size_t)nparts * nmix * nmix);
+  md.root_bias_v.assign(root_bias, root_bias + nmix);
+  pbd::Image im(h, w, c);
+  std::memcpy(im.data.data(), image, sizeof(float) * (size_t)h * w * c);
+  std::vector<pbd::NativeCandidate> cands;
+  pbd::detect_candidates(md, im, k_per_level, cands);
+  const int nout = std::min((int)cands.size(), cap);
+  for (int i = 0; i < nout; ++i) {
+    out_score[i] = cands[i].score;
+    out_level[i] = cands[i].level;
+    std::memcpy(out_loc + (size_t)i * nparts * 3, cands[i].loc.data(),
+                sizeof(int32_t) * (size_t)nparts * 3);
+  }
+  return nout;
 }
 
 }  // extern "C"

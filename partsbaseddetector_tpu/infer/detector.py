@@ -72,6 +72,45 @@ class Detection:
         return dataclasses.replace(self, parts=self.parts * factor)
 
 
+@dataclasses.dataclass(frozen=True)
+class DepthPrune:
+    """Static config for depth-based response pruning — the completed
+    form of the reference's abandoned filterResponseByDepth
+    (src/SearchSpacePruning.cpp:47-70: computes the plausible depth
+    Z = fx * X / scale, then does nothing; its call site is commented
+    out at src/PartsBasedDetector.cpp:86).  A part of physical width
+    ``part_width_m`` detected at pyramid scale s (pixels per cell) is
+    plausible only at depths within ``tol`` (relative) of
+    fx * part_width_m / s; response cells at implausible depths are
+    masked to NEG before the DP.  Depth 0 means unknown: never pruned.
+    """
+
+    part_width_m: float
+    fx: float
+    tol: float = 0.5
+
+
+def _depth_bad_mask(depth: jnp.ndarray, bucket, cfg: DepthPrune):
+    """(L, fh, fw) bool: True where the response cell's observed depth
+    is implausible for this level's scale.  Depth is sampled at cell
+    centers with static indices (one tiny gather per level, off the
+    DT/DP hot path), mirroring post/depth.filter_response_by_depth."""
+    dh, dw = depth.shape
+    fh, fw = bucket.feat_pad
+    rows = []
+    for lvl in bucket.levels:
+        th, tw = lvl.featsize
+        ys = np.clip(((np.arange(fh) + 0.5) * dh
+                      / max(th, 1)).astype(np.int32), 0, dh - 1)
+        xs = np.clip(((np.arange(fw) + 0.5) * dw
+                      / max(tw, 1)).astype(np.int32), 0, dw - 1)
+        sdepth = depth[ys][:, xs]                         # (fh, fw)
+        zexp = cfg.fx * cfg.part_width_m / float(lvl.scale)
+        bad = (sdepth > 0) & (jnp.abs(sdepth - zexp) > cfg.tol * zexp)
+        rows.append(bad)
+    return jnp.stack(rows)
+
+
 def _dp_groups(bucket, dp_split: int):
     """Split a bucket's levels into <= dp_split groups for stages 3-4,
     each padded only to ITS largest level.  Within an octave, level sizes
@@ -153,15 +192,25 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     compose: str,
                     dt_impl: str = "xla",
                     part_masks=None,
-                    dp_split: int = 1) -> argmax_ops.Candidates:
+                    dp_split: int = 1,
+                    depth=None,
+                    depth_cfg: Optional[DepthPrune] = None
+                    ) -> argmax_ops.Candidates:
     """The full jitted detection program for one image.
 
     part_masks: optional per-bucket list of (L, P, fh, fw) bool masks of
-    allowed part placements (latent-positive search, train/latent.py)."""
+    allowed part placements (latent-positive search, train/latent.py).
+    depth + depth_cfg: optional (H, W) depth map (meters) and static
+    pruning config — masks stage-2 responses at implausible depths
+    before the DP (the realized filterResponseByDepth call site,
+    src/PartsBasedDetector.cpp:86)."""
     all_cands: List[argmax_ops.Candidates] = []
 
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
                                                      plan):
+        if depth is not None and depth_cfg is not None:
+            bad = _depth_bad_mask(depth, bucket, depth_cfg)
+            pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
         # ---- stages 3-4 per (level group, component); groups re-pad to
         # their own largest level so the DT never pays the octave bound
         bmask = None if part_masks is None else \
@@ -191,7 +240,8 @@ class Detector:
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
                  compose: str = "reference", dt_impl: str = "auto",
-                 dp_split: int = 3):
+                 dp_split: int = 3,
+                 depth_prune: Optional[DepthPrune] = None):
         if model.max_scale() > 0:
             raise ValueError(
                 "model has parts at multiple resolutions (anchor ds > "
@@ -206,7 +256,10 @@ class Detector:
             dt_impl = "xla"
         self.dt_impl = dt_impl
         self.dp_split = int(dp_split)
-        self._compiled: Dict[Tuple[int, int], object] = {}
+        self.depth_prune = depth_prune
+        # keys: (H, W) | ("batch", B, H, W) | ("masked"|"feats"|"depth",
+        # H, W) -> (compiled fn, PyramidPlan)
+        self._compiled: Dict[tuple, tuple] = {}
 
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
         return make_plan(imshape, self.model.binsize, self.model.interval)
@@ -223,12 +276,31 @@ class Detector:
             self._compiled[key] = (fn, plan)
         return self._compiled[key]
 
-    def detect_raw(self, image) -> argmax_ops.Candidates:
+    def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
         """Run the device program; returns the fixed-capacity Candidates
-        pytree (scores sorted descending, invalid entries last)."""
+        pytree (scores sorted descending, invalid entries last).
+
+        depth: optional (H, W) metric depth map — with a ``depth_prune``
+        config, stage-2 responses at implausible depths are masked
+        before the DP (the reference's detect(im, depth, candidates)
+        signature, include/PartsBasedDetector.hpp:172-174, with the
+        commented-out pruning call realized)."""
         image = jnp.asarray(image)
-        fn, _ = self._get_fn(image.shape[:2])
-        return fn(image, self.packed)
+        if depth is None or self.depth_prune is None:
+            fn, _ = self._get_fn(image.shape[:2])
+            return fn(image, self.packed)
+        key = ("depth",) + tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = self.plan_for(image.shape[:2])
+            fn = jax.jit(partial(_detect_program, plan=plan,
+                                 k_per_level=self.k_per_level,
+                                 compose=self.compose,
+                                 dt_impl=self.dt_impl,
+                                 dp_split=self.dp_split,
+                                 depth_cfg=self.depth_prune))
+            self._compiled[key] = (fn, plan)
+        fn, _ = self._compiled[key]
+        return fn(image, self.packed, depth=jnp.asarray(depth))
 
     def detect_batch_raw(self, images) -> argmax_ops.Candidates:
         """Single-chip micro-batched detection: one device dispatch for a
@@ -238,6 +310,9 @@ class Detector:
         frames; the per-frame math is identical to detect_raw.  Returns
         Candidates with a leading (B, ...) axis."""
         images = jnp.asarray(images)
+        if images.ndim != 4:
+            raise ValueError("detect_batch_raw expects (B, H, W, 3) "
+                             f"images, got shape {images.shape}")
         key = ("batch", images.shape[0]) + tuple(images.shape[1:3])
         if key not in self._compiled:
             plan = self.plan_for(images.shape[1:3])
@@ -270,12 +345,13 @@ class Detector:
         return fn(image, self.packed,
                   part_masks=tuple(jnp.asarray(m) for m in part_masks))
 
-    def detect(self, image, max_detections: Optional[int] = None
-               ) -> List[Detection]:
+    def detect(self, image, depth=None,
+               max_detections: Optional[int] = None) -> List[Detection]:
         """Detect and return host-side Detections above the model
-        threshold, sorted by score descending."""
-        return self.candidates_to_detections(self.detect_raw(image),
-                                             max_detections)
+        threshold, sorted by score descending.  depth: optional (H, W)
+        metric depth map (see detect_raw)."""
+        return self.candidates_to_detections(
+            self.detect_raw(image, depth=depth), max_detections)
 
     def update_model(self, model: PartsModel) -> None:
         """Swap in updated weights without recompiling (the packed model

@@ -106,9 +106,78 @@ class StreamingDetector:
                 cloud: Optional[np.ndarray] = None) -> FrameResult:
         """Run one frame.  rgb: (H, W, 3); depth: (h, w) meters; cloud:
         (H, W, 3) organized or (N, 3) unorganized camera-frame points."""
+        return self._postprocess(self.detector.detect_raw(rgb), rgb,
+                                 depth, cloud)
+
+    def process_batch(self, rgbs, depths=None,
+                      clouds=None) -> List[FrameResult]:
+        """Micro-batched frame loop: ONE device dispatch for B frames
+        (detect_batch_raw), then the per-frame post/publish path.  The
+        per-frame math is identical to process(); batching amortizes the
+        per-dispatch host overhead (the reference's frame loop,
+        ros/Node.cpp:144, is strictly sequential)."""
+        import jax
+
+        rgbs = np.asarray(rgbs)
+        cands_b = self.detector.detect_batch_raw(rgbs)
+        out = []
+        for i in range(rgbs.shape[0]):
+            cands = jax.tree.map(lambda x: x[i], cands_b)
+            out.append(self._postprocess(
+                cands, rgbs[i],
+                None if depths is None else depths[i],
+                None if clouds is None else clouds[i]))
+        return out
+
+    def stream(self, frames, batch: int = 8, depths=None, clouds=None):
+        """Pipelined streaming: generator over FrameResults.  Frames are
+        grouped into micro-batches of `batch`; the NEXT batch's device
+        dispatch is issued before the current batch's host-side
+        post-processing (JAX dispatch is asynchronous, so device compute
+        overlaps the sinks).  A short final group is padded by repeating
+        the last frame (avoids a second compile) and the padding results
+        are dropped."""
+        import jax
+
+        frames = list(frames)
+        if not frames:
+            return
+        groups = [frames[i:i + batch]
+                  for i in range(0, len(frames), batch)]
+        pending = None          # (rgbs, n_real, offset, device result)
+        offset = 0
+        for g in groups:
+            n_real = len(g)
+            while len(g) < batch and len(frames) > 1:
+                g = g + [g[-1]]
+            rgbs = np.asarray(g)
+            cands_b = self.detector.detect_batch_raw(rgbs)   # async
+            if pending is not None:
+                yield from self._drain(pending, depths, clouds)
+            pending = (rgbs, n_real, offset, cands_b)
+            offset += n_real
+        if pending is not None:
+            yield from self._drain(pending, depths, clouds)
+
+    def _drain(self, pending, depths, clouds):
+        import jax
+
+        rgbs, n_real, offset, cands_b = pending
+        for i in range(n_real):
+            cands = jax.tree.map(lambda x: x[i], cands_b)
+            j = offset + i
+            yield self._postprocess(
+                cands, rgbs[i],
+                None if depths is None else depths[j],
+                None if clouds is None else clouds[j])
+
+    def _postprocess(self, cands, rgb: np.ndarray,
+                     depth: Optional[np.ndarray],
+                     cloud: Optional[np.ndarray]) -> FrameResult:
+        """sort/NMS -> sinks for one frame's raw candidates
+        (ros/Node.cpp:181-249)."""
         from partsbaseddetector_tpu.ops.nms import paint_nms
 
-        cands = self.detector.detect_raw(rgb)
         cands = paint_nms(cands, rgb.shape[:2], self.max_overlap)
         detections = self.detector.candidates_to_detections(
             cands, self.max_candidates)

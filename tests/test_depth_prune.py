@@ -1,0 +1,82 @@
+"""Depth-based response pruning wired into the detector.
+
+The reference declares detect(im, depth, candidates)
+(include/PartsBasedDetector.hpp:172-174) but leaves the
+filterResponseByDepth call commented out
+(src/PartsBasedDetector.cpp:86) and its body abandoned after computing
+the plausible depth (src/SearchSpacePruning.cpp:59-69).  Here the
+pruning is realized: stage-2 responses at implausible depths are masked
+to NEG before the DP.
+"""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu.infer.detector import DepthPrune, Detector
+from partsbaseddetector_tpu.models import synthetic
+
+CFG = DepthPrune(part_width_m=0.2, fx=400.0, tol=0.3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = synthetic.tiny(seed=3)
+    model.thresh = -1e5
+    rng = np.random.default_rng(17)
+    im = rng.random((64, 64, 3)) * 255
+    det = Detector(model, k_per_level=8, depth_prune=CFG)
+    return model, im, det
+
+
+def _keys(dets):
+    return {(d.level, int(d.locations[0, 0]), int(d.locations[0, 1]))
+            for d in dets}
+
+
+def test_zero_depth_means_unknown(setup):
+    """depth == 0 cells are never pruned (the reference's median/depth
+    guards treat 0 as missing, src/SearchSpacePruning.cpp:88)."""
+    model, im, det = setup
+    base = det.detect(im)
+    assert base
+    same = det.detect(im, depth=np.zeros(im.shape[:2], np.float32))
+    assert _keys(same) == _keys(base)
+    np.testing.assert_allclose(
+        sorted(d.score for d in same), sorted(d.score for d in base),
+        atol=1e-6)
+
+
+def test_implausible_depth_prunes_everything(setup):
+    """A constant depth far from every level's plausible depth masks all
+    responses -> no candidate survives the threshold."""
+    model, im, det = setup
+    far = np.full(im.shape[:2], 500.0, np.float32)
+    assert det.detect(im, depth=far) == []
+
+
+def test_plausible_depth_keeps_matching_levels(setup):
+    """Depth equal to level-L's plausible depth keeps candidates at
+    levels whose scale is within tol of it and prunes the rest."""
+    model, im, det = setup
+    plan = det.plan_for(im.shape[:2])
+    scales = [lvl.scale for b in plan.buckets for lvl in b.levels]
+    ztarget = CFG.fx * CFG.part_width_m / scales[len(scales) // 2]
+    depth = np.full(im.shape[:2], ztarget, np.float32)
+    dets = det.detect(im, depth=depth)
+    assert dets
+    plausible = {i for i, s in enumerate(scales)
+                 if abs(ztarget - CFG.fx * CFG.part_width_m / s)
+                 <= CFG.tol * CFG.fx * CFG.part_width_m / s}
+    got_levels = {d.level for d in dets}
+    assert got_levels <= plausible
+    # and the surviving candidates match the unpruned run at those levels
+    base = {k for k in _keys(det.detect(im)) if k[0] in plausible}
+    assert _keys(dets) == base
+
+
+def test_no_depth_no_config_paths_agree(setup):
+    """Without a depth map the depth-configured detector runs the plain
+    program (no extra compile, no behavior change)."""
+    model, im, det = setup
+    plain = Detector(model, k_per_level=8)
+    assert _keys(det.detect(im)) == _keys(plain.detect(im))

@@ -105,12 +105,18 @@ def test_detect_batch_matches_single():
     batched = det.detect_batch_raw(ims)
     for i in range(ims.shape[0]):
         single = det.detect_raw(ims[i])
-        # vmap may change conv/DT reduction order; 5e-4 is the repo-wide
-        # float parity tolerance (see test_detector_matches_oracle)
-        np.testing.assert_allclose(np.asarray(batched.score[i]),
-                                   np.asarray(single.score),
-                                   rtol=0, atol=5e-4)
-        np.testing.assert_array_equal(np.asarray(batched.valid[i]),
-                                      np.asarray(single.valid))
-        np.testing.assert_array_equal(np.asarray(batched.loc[i]),
-                                      np.asarray(single.loc))
+        # vmap may change conv/DT reduction order (5e-4 is the repo-wide
+        # float parity tolerance), and sort_candidates orders by score,
+        # so near-tied candidates can swap positions between the two
+        # runs — compare the candidate SETS, not positions
+        def entries(c, j=None):
+            score = np.asarray(c.score if j is None else c.score[j])
+            valid = np.asarray(c.valid if j is None else c.valid[j])
+            loc = np.asarray(c.loc if j is None else c.loc[j])
+            lvl = np.asarray(c.level if j is None else c.level[j])
+            return {(int(l), tuple(map(tuple, x))): float(s)
+                    for s, v, x, l in zip(score, valid, loc, lvl) if v}
+        be, se = entries(batched, i), entries(single)
+        assert be.keys() == se.keys()
+        for k in be:
+            assert abs(be[k] - se[k]) < 5e-4

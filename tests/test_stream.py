@@ -84,3 +84,31 @@ def test_poses_pca_orientation():
     np.testing.assert_allclose(np.linalg.norm(p.orientation), 1.0,
                                atol=1e-9)
     np.testing.assert_allclose(p.position, pts.mean(0), atol=1e-12)
+
+
+def test_stream_micro_batched_matches_process():
+    """process_batch / stream (micro-batched serving) must reproduce the
+    per-frame process() results frame by frame."""
+    sd, rgb, depth, cloud = _setup()
+    rng = np.random.default_rng(5)
+    frames = [(rng.random((96, 96, 3)) * 255).astype(np.uint8)
+              for _ in range(5)]
+    singles = [sd.process(f) for f in frames]
+
+    batched = sd.process_batch(np.stack(frames[:4]))
+    for s, b in zip(singles[:4], batched):
+        assert len(s.detections) == len(b.detections)
+        for ds, db in zip(s.detections, b.detections):
+            assert ds.level == db.level
+            assert abs(ds.score - db.score) < 5e-4
+            np.testing.assert_array_equal(ds.locations, db.locations)
+
+    # generator form: 5 frames at batch=4 -> padded final group dropped
+    streamed = list(sd.stream(frames, batch=4))
+    assert len(streamed) == len(frames)
+    for s, b in zip(singles, streamed):
+        assert len(s.detections) == len(b.detections)
+        for ds, db in zip(s.detections, b.detections):
+            assert ds.level == db.level
+            assert abs(ds.score - db.score) < 5e-4
+            np.testing.assert_array_equal(ds.locations, db.locations)
