@@ -37,6 +37,9 @@ def measure_tpu_fps() -> dict:
     import jax
     from partsbaseddetector_tpu.models import synthetic
     from partsbaseddetector_tpu.infer.detector import Detector
+    from partsbaseddetector_tpu.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
 
     model = synthetic.person_like()
     model.thresh = 0.0
@@ -89,6 +92,7 @@ def measure_tpu_fps() -> dict:
         "device": str(jax.devices()[0]),
         "frames": FRAMES,
         "batch": BATCH,
+        "cache_dir": cache_dir,
     }
 
 

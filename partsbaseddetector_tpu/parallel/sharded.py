@@ -35,11 +35,17 @@ class BatchDetector:
     """
 
     def __init__(self, model: PartsModel, mesh: Mesh,
-                 k_per_level: int = 64, compose: str = "reference"):
+                 k_per_level: int = 64, compose: str = "reference",
+                 dt_impl: str = "auto", dp_split: int = 3):
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
         self.compose = compose
+        self.dt_impl = "xla" if dt_impl == "auto" else dt_impl
+        self.dp_split = int(dp_split)
+        # multi-resolution models route through the multires program
+        # (same facade; the single-res program asserts max_scale() == 0)
+        self.multires = model.max_scale() > 0
         self.packed = pack_model(model)
         # pad the filter bank's output-channel axis to the filter-axis
         # size (padded filters are all-zero and never referenced by any
@@ -51,16 +57,14 @@ class BatchDetector:
         if pad:
             bank = jax.numpy.pad(bank, ((0, 0),) * 3 + ((0, pad),))
         bank_spec = P(None, None, None, "filter")
-        self.packed = self.packed.__class__(
+        import dataclasses
+        self.packed = dataclasses.replace(
+            self.packed,
             bank=jax.device_put(bank, NamedSharding(mesh, bank_spec)),
             components=jax.device_put(
                 self.packed.components, NamedSharding(mesh, P())),
             thresh=jax.device_put(
-                self.packed.thresh, NamedSharding(mesh, P())),
-            interval=self.packed.interval, binsize=self.packed.binsize,
-            norient=self.packed.norient, flen=self.packed.flen,
-            name=self.packed.name,
-            parent_static=self.packed.parent_static)
+                self.packed.thresh, NamedSharding(mesh, P())))
         self._compiled = {}
 
     def _get_fn(self, imshape: Tuple[int, ...]):
@@ -69,12 +73,23 @@ class BatchDetector:
             plan = make_plan(imshape[1:3], self.model.binsize,
                              self.model.interval)
 
-            def batch_program(images, packed):
-                return jax.vmap(
-                    lambda im: _detect_program(
+            if self.multires:
+                from partsbaseddetector_tpu.infer.multires import \
+                    _multires_program
+
+                def single(im, packed):
+                    return _multires_program(
+                        im, packed, plan, self.k_per_level)
+            else:
+                def single(im, packed):
+                    return _detect_program(
                         im, packed, plan=plan,
                         k_per_level=self.k_per_level,
-                        compose=self.compose))(images)
+                        compose=self.compose, dt_impl=self.dt_impl,
+                        dp_split=self.dp_split)
+
+            def batch_program(images, packed):
+                return jax.vmap(lambda im: single(im, packed))(images)
 
             img_sharding = NamedSharding(
                 self.mesh, P("data", None, None))
@@ -96,3 +111,25 @@ class BatchDetector:
                 f"{ndata}")
         fn = self._get_fn(images.shape)
         return fn(images, self.packed)
+
+    def detect_batch_distributed(self, local_images) -> Candidates:
+        """Multi-PROCESS entry point (jax.distributed initialized, the
+        mesh spanning all processes' devices): every process passes its
+        LOCAL (B_local, H, W, 3) slice of the global frame batch; the
+        global batch is their concatenation along axis 0 in process
+        order.  Returns the global Candidates pytree — each process
+        addresses its own shards (use multihost_utils.process_allgather
+        for a full host copy).  This is the DCN/ICI replacement for the
+        reference's single-process frame loop (SURVEY.md §2.4)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        local_images = np.asarray(local_images, np.float32)
+        if local_images.ndim != 4:
+            raise ValueError("detect_batch_distributed expects local "
+                             "(B_local, H, W, 3) images")
+        sharding = NamedSharding(
+            self.mesh, PartitionSpec("data", None, None, None))
+        global_images = jax.make_array_from_process_local_data(
+            sharding, local_images)
+        fn = self._get_fn(global_images.shape)
+        return fn(global_images, self.packed)

@@ -53,3 +53,27 @@ def test_batch_detector_rejects_bad_batch(model):
 def test_graft_dryrun_runs():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_batch_detector_multires_matches_single():
+    """Sharded path serves multi-resolution models (anchor ds > 0)
+    through the multires program (round-1 gap: BatchDetector could not
+    serve them at all)."""
+    from partsbaseddetector_tpu.infer.multires import MultiResDetector
+
+    model = synthetic.tiny_multires(seed=5)
+    model.thresh = -1e9
+    mesh = make_mesh((4, 2))
+    bdet = BatchDetector(model, mesh, k_per_level=8)
+    assert bdet.multires
+    det = MultiResDetector(model, k_per_level=8)
+
+    rng = np.random.default_rng(2)
+    images = (rng.random((4, 64, 64, 3)) * 255).astype(np.float32)
+    cands = bdet.detect_batch(images)
+    for b in range(4):
+        single = det.detect_raw(images[b])
+        np.testing.assert_allclose(np.asarray(cands.score[b]),
+                                   np.asarray(single.score), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(cands.valid[b]),
+                                      np.asarray(single.valid))
