@@ -69,14 +69,21 @@ def measure_tpu_fps() -> dict:
         np.asarray(c.score)
         lat.append(time.time() - t0)
 
-    # streaming throughput: micro-batched dispatches, puts and fetches
-    # pipelined against device compute
+    # streaming throughput: micro-batched dispatches with the NEXT
+    # batch's host->device put issued right after the current dispatch —
+    # through the transfer tunnel this ordering is what actually
+    # overlaps transfers with compute (all-puts-first measured 50 ms/f,
+    # interleaved 38 ms/f on the same workload)
     def run_stream():
         t0 = time.time()
-        devs = [jax.device_put(b) for b in batches]
-        outs = [det.detect_batch_raw(d) for d in devs]
-        for o in outs:
-            o.score.copy_to_host_async()
+        dev = jax.device_put(batches[0])
+        outs = []
+        for i in range(len(batches)):
+            out = det.detect_batch_raw(dev)
+            outs.append(out)
+            if i + 1 < len(batches):
+                dev = jax.device_put(batches[i + 1])
+            out.score.copy_to_host_async()
         scores = [np.asarray(o.score) for o in outs]
         assert all(s.shape == scores[0].shape for s in scores)
         return (time.time() - t0) / FRAMES

@@ -24,7 +24,7 @@ class RuntimeConfig:
     compose: str = "reference"     # DT argmin composition mode (the
                                    # reference quirk vs corrected; see
                                    # ops/dt.py)
-    dt_impl: str = "auto"          # "xla" | "pallas" | auto-by-platform
+    dt_impl: str = "auto"          # "xla" | auto (PERF.md §DT)
     max_overlap: float = 0.1       # paint-NMS overlap (ros/Node.cpp:196)
     remove_planes: bool = False    # plane removal before clustering
     max_candidates: Optional[int] = 32

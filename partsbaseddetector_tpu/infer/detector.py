@@ -211,24 +211,38 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
         if depth is not None and depth_cfg is not None:
             bad = _depth_bad_mask(depth, bucket, depth_cfg)
             pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
-        # ---- stages 3-4 per (level group, component); groups re-pad to
-        # their own largest level so the DT never pays the octave bound
         bmask = None if part_masks is None else \
             part_masks[bucket.octave]
-        for lo, hi, gfh, gfw in _dp_groups(bucket, dp_split):
-            gpdfs = pdfs[lo:hi, :gfh, :gfw]
-            gmask = None if bmask is None else bmask[lo:hi, :, :gfh, :gfw]
-            for c, comp in enumerate(packed.components):
-                res = dp_min_levels(gpdfs, comp, compose, dt_impl, gmask)
-                cands = argmax_ops.backtrack_levels(
-                    res, comp, packed.parent_static[c], packed.thresh,
-                    scales[lo:hi], k_per_level, true_sizes=tsizes[lo:hi],
-                    component_index=c,
-                    level_offset=bucket.levels[lo].index, compose=compose)
-                all_cands.append(cands)
+        all_cands.extend(dp_backtrack_bucket(
+            bucket, pdfs, tsizes, scales, packed, k_per_level, compose,
+            dt_impl, bmask, dp_split))
 
     merged = argmax_ops.concat_candidates(all_cands)
     return argmax_ops.sort_candidates(merged)
+
+
+def dp_backtrack_bucket(bucket, pdfs, tsizes, scales,
+                        packed: PackedModel, k_per_level: int,
+                        compose: str, dt_impl: str = "xla",
+                        bmask=None, dp_split: int = 1
+                        ) -> List[argmax_ops.Candidates]:
+    """Stages 3-4 for one octave bucket: per (level group, component)
+    DP + backtracking.  Groups re-pad to their own largest level so the
+    DT never pays the octave bound.  Shared by the single-image detect
+    program and the cross-stage pipeline (parallel/pipeline.py)."""
+    out: List[argmax_ops.Candidates] = []
+    for lo, hi, gfh, gfw in _dp_groups(bucket, dp_split):
+        gpdfs = pdfs[lo:hi, :gfh, :gfw]
+        gmask = None if bmask is None else bmask[lo:hi, :, :gfh, :gfw]
+        for c, comp in enumerate(packed.components):
+            res = dp_min_levels(gpdfs, comp, compose, dt_impl, gmask)
+            cands = argmax_ops.backtrack_levels(
+                res, comp, packed.parent_static[c], packed.thresh,
+                scales[lo:hi], k_per_level, true_sizes=tsizes[lo:hi],
+                component_index=c,
+                level_offset=bucket.levels[lo].index, compose=compose)
+            out.append(cands)
+    return out
 
 
 class Detector:
@@ -251,8 +265,12 @@ class Detector:
         self.k_per_level = int(k_per_level)
         self.compose = compose
         if dt_impl == "auto":
-            # the max-only forward scan is XLA-optimal on every platform
-            # (the pallas kernel exists for the full-table DT path)
+            # the dense max-only XLA formulation measured fastest on
+            # TPU: 266 GOPS sustained vs 9.6 GOPS for a Pallas
+            # displacement-sweep kernel on the same shapes (PERF.md
+            # §DT); the envelope algorithm cannot vectorize on TPU
+            # (per-lane stack indexing), so the Pallas path was deleted
+            # after the measurement
             dt_impl = "xla"
         self.dt_impl = dt_impl
         self.dp_split = int(dp_split)

@@ -73,9 +73,9 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     if compose not in ("reference", "correct"):
         raise ValueError(compose)
     if dt_impl not in ("xla",):
-        raise ValueError(f"dt_impl {dt_impl!r} (the forward scan is "
-                         "max-only; the pallas kernel applies to the "
-                         "full-table path)")
+        raise ValueError(f"dt_impl {dt_impl!r} (the dense max-only XLA "
+                         "formulation measured fastest on TPU; see "
+                         "PERF.md §DT for the Pallas negative result)")
     P, M = comp.filterid.shape
     H, W = pdfs.shape[:2]
     assert H < 4096 and W < 4096 and M < 128, (H, W, M)

@@ -1,0 +1,132 @@
+"""Pipeline parallelism across detection stages.
+
+The reference's detect() is a 4-stage pipeline run sequentially per
+frame (src/PartsBasedDetector.cpp:69-95).  For streaming video over
+multiple chips, the stages can run on DIFFERENT device groups —
+pyramid + HOG + filter-bank conv (stages 1-2) on a front group, DP +
+backtracking (stages 3-4) on a back group — with frames in flight in
+both groups at once (BASELINE.json config 5; SURVEY.md §2.4 row 4).
+
+Because JAX dispatch is asynchronous, the software pipeline needs no
+threads: the host enqueues stage-1(frame i+1) while stage-2(frame i)
+runs; the inter-group transfer of the response maps is an async
+device-to-device copy.
+
+When to use (measured on the flagship workload, see PERF.md): the
+stages are imbalanced — stage 1-2 ~12 ms vs stage 3-4 ~44 ms per
+frame — so a 1:1 two-group pipeline is throughput-bound at the slow
+stage and LOSES to pure data parallelism over the same chips.  It wins
+when (a) groups are sized to the imbalance (e.g. 1 front : 3+ back
+chips), or (b) per-chip memory cannot hold the whole model + working
+set, or (c) per-frame latency must overlap I/O decode on the front
+group.  The class supports uneven groups via the device lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from partsbaseddetector_tpu.infer.detector import (Detector,
+                                                   dp_backtrack_bucket,
+                                                   pyramid_pdfs)
+from partsbaseddetector_tpu.infer.pyramid_plan import make_plan
+from partsbaseddetector_tpu.models.part_tree import pack_model
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.ops import argmax as argmax_ops
+
+
+def _stage1_program(image, packed, plan):
+    """Stages 1-2: ladder + HOG + conv for every bucket.  Returns a
+    pytree of (pdfs, tsizes, scales) per bucket (bucket metadata is
+    static via the shared plan)."""
+    out = []
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
+                                                     plan):
+        out.append((pdfs, tsizes, scales))
+    return tuple(out)
+
+
+def _stage2_program(per_bucket, packed, plan, k_per_level: int,
+                    compose: str, dp_split: int):
+    """Stages 3-4: DP + backtracking from transferred response maps."""
+    all_cands: List[argmax_ops.Candidates] = []
+    for bucket, (pdfs, tsizes, scales) in zip(plan.buckets, per_bucket):
+        all_cands.extend(dp_backtrack_bucket(
+            bucket, pdfs, tsizes, scales, packed, k_per_level, compose,
+            dp_split=dp_split))
+    return argmax_ops.sort_candidates(
+        argmax_ops.concat_candidates(all_cands))
+
+
+class PipelinedDetector:
+    """Two-group cross-stage pipelined detector.
+
+    >>> devs = jax.devices()
+    >>> pdet = PipelinedDetector(model, front=devs[0], back=devs[1])
+    >>> for cands in pdet.stream(frames): ...
+    """
+
+    def __init__(self, model: PartsModel, front, back,
+                 k_per_level: int = 64, compose: str = "reference",
+                 dp_split: int = 3):
+        self.model = model
+        self.front = front
+        self.back = back
+        self.k_per_level = int(k_per_level)
+        self.compose = compose
+        self.dp_split = int(dp_split)
+        packed = pack_model(model)
+        # the front group only convolves: it needs the bank; the back
+        # group needs the tree parameters
+        self.packed_front = jax.device_put(packed, front)
+        self.packed_back = jax.device_put(packed, back)
+        self._compiled = {}
+
+    def _get_fns(self, imshape):
+        key = tuple(imshape)
+        if key not in self._compiled:
+            plan = make_plan(imshape, self.model.binsize,
+                             self.model.interval)
+            fn1 = jax.jit(partial(_stage1_program, plan=plan))
+            fn2 = jax.jit(partial(_stage2_program, plan=plan,
+                                  k_per_level=self.k_per_level,
+                                  compose=self.compose,
+                                  dp_split=self.dp_split))
+            self._compiled[key] = (fn1, fn2, plan)
+        return self._compiled[key]
+
+    def detect_raw(self, image) -> argmax_ops.Candidates:
+        """One frame through both stages (no pipelining benefit for a
+        single frame; use stream() for throughput)."""
+        image = jnp.asarray(image)
+        fn1, fn2, _ = self._get_fns(image.shape[:2])
+        s1 = fn1(jax.device_put(image, self.front), self.packed_front)
+        s1_back = jax.device_put(s1, self.back)     # inter-group copy
+        return fn2(s1_back, self.packed_back)
+
+    def stream(self, frames, depth_of_pipeline: int = 2):
+        """Generator over Candidates, one per frame, with up to
+        ``depth_of_pipeline`` frames in flight (front computes frame
+        i+1 while back computes frame i — all enqueued asynchronously,
+        drained with a lag so the host never blocks the pipe)."""
+        pending = []
+        for f in frames:
+            image = jnp.asarray(f)
+            fn1, fn2, _ = self._get_fns(image.shape[:2])
+            s1 = fn1(jax.device_put(image, self.front),
+                     self.packed_front)
+            s1_back = jax.device_put(s1, self.back)
+            out = fn2(s1_back, self.packed_back)
+            pending.append(out)
+            if len(pending) >= depth_of_pipeline:
+                yield pending.pop(0)
+        yield from pending
+
+    def detect(self, image, max_detections: Optional[int] = None):
+        return Detector.candidates_to_detections(
+            self.detect_raw(image), max_detections)

@@ -1,0 +1,134 @@
+"""Scale-axis sharding: pyramid levels distributed over chips.
+
+The reference parallelizes its scale loop with OpenMP
+(src/DynamicProgram.cpp:80-83, src/HOGFeatures.cpp:111-114); the
+TPU-native counterpart shards each octave bucket's LEVEL axis over a
+``scale`` mesh axis (SURVEY.md §2.4 row 2).  Unlike data parallelism
+(parallel/sharded.py), this cuts single-frame LATENCY: one image's 46
+pyramid levels spread over the mesh, each chip running stage 1-4 for
+its level slice, with the deterministic top-K candidate merge at the
+end.
+
+Composable with filter parallelism: mesh axes ("scale", "filter") —
+the filter bank shards its output channels, levels shard over scale.
+Padding: each bucket's L levels pad to a multiple of the scale-axis
+size with NEG response maps and zero true-sizes, so padded levels
+produce only invalid candidates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from partsbaseddetector_tpu.infer.detector import pyramid_pdfs
+from partsbaseddetector_tpu.infer.pyramid_plan import make_plan
+from partsbaseddetector_tpu.models.part_tree import pack_model
+from partsbaseddetector_tpu.models.schema import PartsModel
+from partsbaseddetector_tpu.ops import argmax as argmax_ops
+from partsbaseddetector_tpu.ops.common import NEG
+from partsbaseddetector_tpu.ops.dp import dp_min_levels
+
+
+def make_scale_mesh(shape: Tuple[int, int] = None, devices=None) -> Mesh:
+    """(scale, filter) mesh; defaults to all devices on the scale axis."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    assert shape[0] * shape[1] == len(devices), (shape, len(devices))
+    return Mesh(np.asarray(devices).reshape(shape), ("scale", "filter"))
+
+
+def _scale_program(image, packed, plan, k_per_level: int, compose: str,
+                   mesh: Mesh):
+    nscale = mesh.shape["scale"]
+    spec4 = NamedSharding(mesh, P("scale", None, None, None))
+    all_cands = []
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
+                                                     plan):
+        L = len(bucket.levels)
+        pad = (-L) % nscale
+        if pad:
+            pdfs = jnp.concatenate(
+                [pdfs, jnp.full((pad,) + pdfs.shape[1:], NEG,
+                                pdfs.dtype)], axis=0)
+            tsizes = jnp.concatenate(
+                [tsizes, jnp.zeros((pad, 2), tsizes.dtype)], axis=0)
+            scales = jnp.concatenate(
+                [scales, jnp.ones((pad,), scales.dtype)], axis=0)
+        # levels spread over the scale axis from here on; the SPMD
+        # partitioner propagates the sharding backward through the conv
+        # and HOG vmaps and forward through the DP and backtracking
+        pdfs = jax.lax.with_sharding_constraint(pdfs, spec4)
+        for c, comp in enumerate(packed.components):
+            res = dp_min_levels(pdfs, comp, compose)
+            cands = argmax_ops.backtrack_levels(
+                res, comp, packed.parent_static[c], packed.thresh,
+                scales, k_per_level, true_sizes=tsizes,
+                component_index=c,
+                level_offset=bucket.levels[0].index, compose=compose)
+            all_cands.append(cands)
+    merged = argmax_ops.concat_candidates(all_cands)
+    return argmax_ops.sort_candidates(merged)
+
+
+class ScaleShardedDetector:
+    """Single-image detector with pyramid levels sharded over chips.
+
+    >>> mesh = make_scale_mesh((4, 2))
+    >>> det = ScaleShardedDetector(model, mesh)
+    >>> cands = det.detect_raw(image)
+    """
+
+    def __init__(self, model: PartsModel, mesh: Mesh,
+                 k_per_level: int = 64, compose: str = "reference"):
+        if model.max_scale() > 0:
+            raise ValueError("multi-resolution models: use the data-"
+                             "parallel BatchDetector (multires)")
+        self.model = model
+        self.mesh = mesh
+        self.k_per_level = int(k_per_level)
+        self.compose = compose
+        packed = pack_model(model)
+        # shard the filter bank over the filter axis (padded), like
+        # BatchDetector; everything else replicated
+        nfilt = mesh.shape["filter"]
+        F = packed.bank.shape[3]
+        padf = (-F) % nfilt
+        bank = packed.bank
+        if padf:
+            bank = jnp.pad(bank, ((0, 0),) * 3 + ((0, padf),))
+        self.packed = dataclasses.replace(
+            packed,
+            bank=jax.device_put(
+                bank, NamedSharding(mesh, P(None, None, None,
+                                            "filter"))),
+            components=jax.device_put(packed.components,
+                                      NamedSharding(mesh, P())),
+            thresh=jax.device_put(packed.thresh,
+                                  NamedSharding(mesh, P())))
+        self._compiled = {}
+
+    def detect_raw(self, image) -> argmax_ops.Candidates:
+        image = jnp.asarray(image)
+        key = tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = make_plan(image.shape[:2], self.model.binsize,
+                             self.model.interval)
+            fn = jax.jit(partial(_scale_program, plan=plan,
+                                 k_per_level=self.k_per_level,
+                                 compose=self.compose, mesh=self.mesh))
+            self._compiled[key] = fn
+        return self._compiled[key](image, self.packed)
+
+    def detect(self, image, max_detections=None):
+        from partsbaseddetector_tpu.infer.detector import Detector
+        return Detector.candidates_to_detections(
+            self.detect_raw(image), max_detections)
