@@ -85,11 +85,12 @@ def _load_parse_dir(path: str) -> List[Sample]:
 def synthetic_figures(n: int = 20, imsize: Tuple[int, int] = (96, 96),
                       nparts: int = 3, seed: int = 0,
                       noise: float = 40.0,
-                      blob: int = 10, spacing: int = 14
+                      blob: int = 10, spacing: int = 14,
+                      jitter: int = 2
                       ) -> Tuple[List[Sample], List[np.ndarray]]:
     """Planted articulated chains in noise: returns (positives,
     negative_images).  Part p sits `spacing` px below part p-1 with
-    +-2 px jitter."""
+    +-jitter px of x articulation."""
     rng = np.random.default_rng(seed)
     H, W = imsize
     pos: List[Sample] = []
@@ -105,8 +106,8 @@ def synthetic_figures(n: int = 20, imsize: Tuple[int, int] = (96, 96),
             im[max(y - blob // 2, 0):y + blob // 2,
                max(x - blob // 2, 0):x + blob // 2] += 170
             pts.append([x, y])
-            x = int(np.clip(x + rng.integers(-2, 3), margin,
-                            W - margin))
+            x = int(np.clip(x + rng.integers(-jitter, jitter + 1),
+                            margin, W - margin))
             y += spacing
         scale = float(np.sqrt((blob * 1.0) * (blob
                                               + spacing * (nparts - 1))))

@@ -194,7 +194,17 @@ def latent_train(model: PartsModel,
     _w, wreg, w0, noneg = model_to_vec(model, layout)
 
     model.thresh = -1e9
-    det = Detector(model, k_per_level=cfg.k_per_level)
+    # compose="correct" (the Matlab trainer's shiftdt semantics, not the
+    # C++ inference quirk): under the latent-search masks, the
+    # "reference" composition reads the child's x-argmax row at the
+    # PARENT's y (include/DistanceTransform.hpp:233-244) — a row the
+    # mask makes all-NEG, collapsing child x to 0 and poisoning the
+    # written deformation features.  The quirk mode exists for C++
+    # inference parity; the C++ engine has no masked search, so
+    # training correctly follows matlab/detection/detect.m instead.
+    # It also keeps w . detection_feature == score exact for the QP.
+    det = Detector(model, k_per_level=cfg.k_per_level,
+                   compose="correct")
     for t in range(cfg.latent_iters):
         qp = QPCache(layout.length, cfg.nmax, wreg, w0, noneg,
                      c_pos=cfg.C * cfg.wpos, c_neg=cfg.C,
@@ -234,7 +244,8 @@ def latent_train(model: PartsModel,
         mining_model = dataclasses.replace(model)
         mining_model.interval = 2
         mining_model.thresh = cfg.mining_thresh
-        mdet = Detector(mining_model, k_per_level=cfg.k_per_level)
+        mdet = Detector(mining_model, k_per_level=cfg.k_per_level,
+                        compose="correct")
         full = False
         for i, im in enumerate(neg_images):
             cands = mdet.detect_raw(im)

@@ -1,0 +1,85 @@
+"""Accuracy regression gate: end-to-end train -> held-out PCK.
+
+The reference evaluates trained models with testmodel.m (reference:
+matlab/detection/testmodel.m:1-22): detect over an annotated set, NMS,
+PCK per part (matlab/evaluation/eval_pck.m:8-13).  This test is that
+flow as a regression gate — train on the synthetic articulated dataset,
+evaluate PCK on held-out samples, and FAIL if accuracy regresses below
+the gate.  APK is recorded alongside (eval_apk.m:7-46).
+"""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu.tools.datasets import synthetic_figures
+
+
+PCK_GATE = 0.9          # held-out mean PCK@0.5 must stay >= this
+NPARTS = 3
+
+
+@pytest.mark.slow
+def test_trained_model_heldout_pck(tmp_path):
+    from partsbaseddetector_tpu.infer.detector import Detector
+    from partsbaseddetector_tpu.ops.nms import part_nms
+    from partsbaseddetector_tpu.train.trainer import (TrainConfig,
+                                                      train_parts_model)
+    from partsbaseddetector_tpu.utils.eval import (KeypointDetection,
+                                                   KeypointGT, apk, pck)
+
+    pos, neg = synthetic_figures(n=16, imsize=(64, 64), nparts=NPARTS,
+                                 seed=7)
+    train_pos, held = pos[:12], pos[12:]
+    parents = [-1, 0, 1]
+
+    cfg = TrainConfig(nmix=1, binsize=4, interval=3, latent_iters=2,
+                      nmax=800, k_per_level=8, neg_per_image=10,
+                      C=0.05)
+    model = train_parts_model(
+        "pckgate",
+        [s.image for s in train_pos],
+        np.stack([s.points for s in train_pos]),
+        neg[:4], parents, cfg, cache_dir=str(tmp_path), verbose=False)
+
+    model.thresh = -1e9
+    det = Detector(model, k_per_level=8)
+
+    pred_pts, gt_pts, gt_scales = [], [], []
+    all_dets = []
+    for s in held:
+        cands = part_nms(det.detect_raw(s.image), 0.3)
+        dets = det.candidates_to_detections(cands)
+        all_dets.append(dets)
+        assert dets, "no detection on a held-out positive"
+        d = dets[0]
+        centers = np.stack([(d.parts[:, 0] + d.parts[:, 2]) / 2,
+                            (d.parts[:, 1] + d.parts[:, 3]) / 2], axis=1)
+        pred_pts.append(centers)
+        gt_pts.append(s.points)
+        gt_scales.append(s.scale)
+
+    pck_per_part = pck(pred_pts, gt_pts, gt_scales, thresh=0.5)
+    mean_pck = float(pck_per_part.mean())
+
+    # APK recorded alongside (same greedy-assignment semantics)
+    apks = []
+    for p in range(NPARTS):
+        dets_p, gts_p = [], []
+        for i, s in enumerate(held):
+            gts_p.append(KeypointGT(points=s.points[p:p + 1],
+                                    scale=s.scale))
+            for d in all_dets[i][:4]:
+                c = np.array([(d.parts[p, 0] + d.parts[p, 2]) / 2,
+                              (d.parts[p, 1] + d.parts[p, 3]) / 2])
+                dets_p.append(KeypointDetection(i, d.score, c))
+        ap_val, _, _ = apk(dets_p, gts_p, thresh=0.5)
+        apks.append(ap_val)
+    mean_apk = float(np.mean(apks))
+
+    print(f"\n[accuracy gate] held-out PCK@0.5 per part: "
+          f"{np.round(pck_per_part, 3).tolist()}  mean={mean_pck:.3f}  "
+          f"APK mean={mean_apk:.3f}")
+    assert mean_pck >= PCK_GATE, (
+        f"accuracy regression: held-out mean PCK {mean_pck:.3f} < "
+        f"{PCK_GATE} (per part {pck_per_part.tolist()}, APK "
+        f"{mean_apk:.3f})")
