@@ -29,8 +29,8 @@ import time
 import numpy as np
 
 IMG = (480, 640)
-FRAMES = 32
-BATCH = 8
+BATCH = int(os.environ.get("PBD_BENCH_BATCH", "8"))
+FRAMES = 4 * BATCH
 
 
 def measure_tpu_fps() -> dict:

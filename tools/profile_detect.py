@@ -18,26 +18,41 @@ def main():
     import jax
     from partsbaseddetector_tpu.models import synthetic
     from partsbaseddetector_tpu.infer.detector import Detector
+    from partsbaseddetector_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    batch = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
 
     model = synthetic.person_like()
     model.thresh = 0.0
     det = Detector(model, k_per_level=64)
     rng = np.random.default_rng(0)
-    im = (rng.random((480, 640, 3)) * 255).astype(np.float32)
+    if batch:
+        im = (rng.random((batch, 480, 640, 3)) * 255).astype(np.uint8)
+        run = det.detect_batch_raw
+    else:
+        im = (rng.random((480, 640, 3)) * 255).astype(np.float32)
+        run = det.detect_raw
+    nframes = batch or 1
 
     t0 = time.time()
-    c = det.detect_raw(im)
+    c = run(im)
     np.asarray(c.score)
     print(f"compile+first: {time.time()-t0:.2f}s", file=sys.stderr)
     for _ in range(2):
         t0 = time.time()
-        c = det.detect_raw(im)
+        c = run(im)
         np.asarray(c.score)
-        print(f"steady: {time.time()-t0:.3f}s", file=sys.stderr)
+        print(f"steady: {time.time()-t0:.3f}s "
+              f"({(time.time()-t0)/nframes*1000:.1f} ms/frame)",
+              file=sys.stderr)
 
     with jax.profiler.trace(OUT):
         for _ in range(3):
-            c = det.detect_raw(im)
+            c = run(im)
             np.asarray(c.score)
 
     # parse newest trace
@@ -65,10 +80,23 @@ def main():
           file=sys.stderr)
     rows = sorted(tot.items(), key=lambda kv: -kv[1])
     total = sum(tot.values())
-    print(f"total device op time over 3 frames: {total:.3f}s "
-          f"({total/3:.3f}s/frame)")
+    nf = 3 * nframes
+    print(f"total device op time over {nf} frames: {total:.3f}s "
+          f"({total/nf*1000:.2f} ms/frame) [nested spans double-count]")
     for nm, s in rows[:40]:
-        print(f"{s/3*1000:9.2f} ms/frame  x{cnt[nm]//3:<5d} {nm[:110]}")
+        print(f"{s/nf*1000:9.3f} ms/frame  x{cnt[nm]//3:<5d} {nm[:110]}")
+    tail = rows[40:]
+    if tail:
+        ts = sum(s for _, s in tail)
+        tc = sum(cnt[nm] for nm, _ in tail) // 3
+        print(f"{ts/nf*1000:9.3f} ms/frame  x{tc:<5d} "
+              f"[{len(tail)} distinct ops below top-40]")
+        # aggregate the tail by op-name prefix for a category view
+        pref = defaultdict(float)
+        for nm, s in tail:
+            pref[nm.split(".")[0]] += s
+        for nm, s in sorted(pref.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"    tail {s/nf*1000:8.3f} ms/frame  {nm[:90]}")
 
 
 if __name__ == "__main__":
