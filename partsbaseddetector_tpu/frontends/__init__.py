@@ -12,3 +12,5 @@ from partsbaseddetector_tpu.frontends.ros_node import (  # noqa: F401
     PartsBasedDetectorNode, ros_available)
 from partsbaseddetector_tpu.frontends.ecto_cell import (  # noqa: F401
     PartsBasedDetectorCell, ecto_available)
+from partsbaseddetector_tpu.frontends.ork_config import (  # noqa: F401
+    OrkConfig, parse_by_parts)

@@ -71,20 +71,24 @@ class StreamingDetector:
     """
 
     SINKS = ("detections", "overlay", "mask", "boxes3d", "clusters",
-             "part_centers", "poses")
+             "part_centers", "poses", "error")
 
     def __init__(self, model: PartsModel,
                  camera: Optional[CameraModel] = None,
                  max_overlap: float = 0.1,
                  remove_planes: bool = False,
                  k_per_level: int = 64,
-                 max_candidates: Optional[int] = 32):
+                 max_candidates: Optional[int] = 32,
+                 max_retries: int = 1,
+                 retry_backoff_s: float = 0.5):
         self.detector = Detector(model, k_per_level=k_per_level)
         self.model = model
         self.camera = camera
         self.max_overlap = float(max_overlap)
         self.remove_planes = bool(remove_planes)
         self.max_candidates = max_candidates
+        self.max_retries = int(max_retries)
+        self.retry_backoff_s = float(retry_backoff_s)
         self._sinks: Dict[str, List[Callable]] = {s: []
                                                   for s in self.SINKS}
 
@@ -100,6 +104,41 @@ class StreamingDetector:
     def _emit(self, sink: str, value) -> None:
         for fn in self._sinks[sink]:
             fn(value)
+
+    # ------------------------------------------------- failure recovery
+    @staticmethod
+    def _materialize(cands_b):
+        """Force the async dispatch to completion; device/transport
+        failures (dispatch is asynchronous, so they surface at fetch
+        time) raise HERE.  Seam for fault-injection tests."""
+        np.asarray(cands_b.score)
+        return cands_b
+
+    def _fetch_or_retry(self, cands_b, rgbs):
+        """Materialize a batch result; on a device/runtime failure,
+        notify the ``error`` sink and RE-DISPATCH the batch (kernels are
+        pure + deterministic, so a retry reproduces the exact result)
+        with exponential backoff, up to ``max_retries`` times.
+
+        Neither the reference nor its runtime has any failure handling
+        (SURVEY.md §5 "none anywhere"); this is the serving-level story
+        for the streaming pipeline: transient device resets / transport
+        hiccups cost one batch re-execution instead of the stream."""
+        import time as _time
+
+        delay = self.retry_backoff_s
+        for attempt in range(self.max_retries + 1):
+            try:
+                return self._materialize(cands_b)
+            except Exception as e:         # device/transport failure
+                self._emit("error", {"attempt": attempt,
+                                     "exception": e,
+                                     "frames": len(rgbs)})
+                if attempt == self.max_retries:
+                    raise
+                _time.sleep(delay)
+                delay *= 2
+                cands_b = self.detector.detect_batch_raw(rgbs)
 
     def process(self, rgb: np.ndarray,
                 depth: Optional[np.ndarray] = None,
@@ -119,7 +158,8 @@ class StreamingDetector:
         import jax
 
         rgbs = np.asarray(rgbs)
-        cands_b = self.detector.detect_batch_raw(rgbs)
+        cands_b = self._fetch_or_retry(
+            self.detector.detect_batch_raw(rgbs), rgbs)
         out = []
         for i in range(rgbs.shape[0]):
             cands = jax.tree.map(lambda x: x[i], cands_b)
@@ -163,6 +203,7 @@ class StreamingDetector:
         import jax
 
         rgbs, n_real, offset, cands_b = pending
+        cands_b = self._fetch_or_retry(cands_b, rgbs)
         for i in range(n_real):
             cands = jax.tree.map(lambda x: x[i], cands_b)
             j = offset + i

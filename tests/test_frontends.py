@@ -128,3 +128,86 @@ def test_missing_model_file_raises():
     cell = PartsBasedDetectorCell()
     with pytest.raises(ValueError):
         cell.configure(params, inputs, outputs)
+
+
+# ---------------------------------------------------------------- ORK config
+
+REF_CONF = "/root/reference/conf"
+
+BY_PARTS_MINIMAL = """
+source1:
+  type: RosKinect
+  module: 'object_recognition_ros.io'
+
+sink1:
+  type: Publisher
+  module: 'object_recognition_by_parts'
+
+pipeline1:
+  type: PartsBasedDetector
+  module: 'object_recognition_by_parts'
+  inputs: [source1]
+  outputs: [sink1]
+  parameters:
+    visualize: true
+    extra:
+        model_file: "/nonexistent/model.xml"
+        use_cuda: false
+"""
+
+
+def test_ork_config_parse_and_instantiate(model):
+    """The reference's only automated test is the ORK config lint of its
+    two .by_parts files (test/CMakeLists.txt:5-9); this is that check,
+    plus actual instantiation of the detector cell from the config."""
+    from partsbaseddetector_tpu.frontends.ork_config import (
+        instantiate, parse_by_parts)
+
+    cfg = parse_by_parts(BY_PARTS_MINIMAL)
+    assert set(cfg.cells) == {"source1", "sink1", "pipeline1"}
+    pipe = cfg.detector_pipeline()
+    assert pipe.inputs == ["source1"] and pipe.outputs == ["sink1"]
+    params = cfg.detector_params()
+    assert params["visualize"] is True
+    assert params["model_file"].endswith("model.xml")
+    assert "use_cuda" not in params     # dead flag dropped on use
+
+    # in-memory model overrides the (author-machine-absolute) model_file
+    cell = instantiate(cfg, model=model)
+    inputs = {"image": (np.random.default_rng(0).random((48, 48, 3))
+                        * 255).astype(np.uint8),
+              "depth": None, "K": None, "input_cloud": None}
+    outputs = {"pose_results": [], "image": None}
+    assert cell.process(inputs, outputs) == 0
+    assert outputs["pose_results"]
+
+
+def test_ork_config_validation_errors():
+    from partsbaseddetector_tpu.frontends.ork_config import parse_by_parts
+
+    with pytest.raises(ValueError, match="missing 'module'"):
+        parse_by_parts("cell1:\n  type: X\n")
+    with pytest.raises(ValueError, match="undeclared cell"):
+        parse_by_parts("pipeline1:\n  type: X\n  module: m\n"
+                       "  inputs: [ghost]\n")
+    with pytest.raises(ValueError, match="empty"):
+        parse_by_parts("")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_CONF),
+                    reason="reference configs not mounted")
+def test_ork_config_reference_files_lint():
+    """Lint the reference's shipped configs verbatim — the exact files
+    its CI config test covers (conf/config_person.by_parts,
+    conf/config_face.by_parts)."""
+    import os
+
+    from partsbaseddetector_tpu.frontends.ork_config import parse_by_parts
+
+    for fname in ("config_person.by_parts", "config_face.by_parts"):
+        cfg = parse_by_parts(os.path.join(REF_CONF, fname))
+        params = cfg.detector_params()
+        assert params["model_file"].endswith(
+            ("Person_26parts.xml", "Face_68parts.xml"))
+        assert params["visualize"] is True
+        assert cfg.detector_pipeline().inputs == ["source1"]

@@ -112,3 +112,51 @@ def test_stream_micro_batched_matches_process():
             assert ds.level == db.level
             assert abs(ds.score - db.score) < 5e-4
             np.testing.assert_array_equal(ds.locations, db.locations)
+
+
+def test_stream_failure_recovery():
+    """Transient device/transport failures at fetch time are detected,
+    reported on the 'error' sink, and recovered by re-dispatching the
+    batch (kernels are pure, so the retry reproduces the exact result);
+    persistent failures raise after max_retries."""
+    import pytest
+
+    model = synthetic.tiny(seed=7)
+    model.thresh = -1e9
+    sd = StreamingDetector(model, max_candidates=8, max_retries=2,
+                           retry_backoff_s=0.01)
+    rng = np.random.default_rng(5)
+    frames = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)
+              for _ in range(4)]
+    errors = []
+    sd.on("error", errors.append)
+
+    clean = sd.process_batch(np.stack(frames))
+
+    real_materialize = StreamingDetector._materialize
+    fails = {"n": 2}
+
+    def flaky(cands_b):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("injected device failure")
+        return real_materialize(cands_b)
+
+    sd._materialize = flaky           # instance-level fault injection
+    recovered = list(sd.stream(frames, batch=4))
+    assert len(errors) == 2
+    assert all(e["exception"].args[0] == "injected device failure"
+               for e in errors)
+    assert len(recovered) == len(frames)
+    for c, r in zip(clean, recovered):
+        assert len(c.detections) == len(r.detections)
+        for dc, dr in zip(c.detections, r.detections):
+            assert dc.score == dr.score       # deterministic retry
+            np.testing.assert_array_equal(dc.locations, dr.locations)
+
+    # persistent failure exhausts retries and raises
+    fails["n"] = 10
+    errors.clear()
+    with pytest.raises(RuntimeError, match="injected device failure"):
+        sd.process_batch(np.stack(frames))
+    assert len(errors) == sd.max_retries + 1
