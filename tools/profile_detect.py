@@ -22,13 +22,16 @@ def main():
 
     enable_compilation_cache()
     batch = 0
+    dp_split = 3
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
+        if a.startswith("--dp-split="):
+            dp_split = int(a.split("=", 1)[1])
 
     model = synthetic.person_like()
     model.thresh = 0.0
-    det = Detector(model, k_per_level=64)
+    det = Detector(model, k_per_level=64, dp_split=dp_split)
     rng = np.random.default_rng(0)
     if batch:
         im = (rng.random((batch, 480, 640, 3)) * 255).astype(np.uint8)
