@@ -45,6 +45,9 @@ class CellSpec:
 @dataclasses.dataclass
 class OrkConfig:
     cells: Dict[str, CellSpec]
+    #: pipeline-level params dropped by detector_params() (db,
+    #: object_ids, use_cuda, ...) — populated on first call
+    ignored_params: tuple = ()
 
     def pipelines(self) -> List[CellSpec]:
         return [c for c in self.cells.values()
@@ -62,15 +65,29 @@ class OrkConfig:
         """The detector cell's parameter dict: ORK keeps the cell's own
         params under ``parameters.extra`` (model_file, use_cuda, ...)
         with pipeline-level ones (visualize, ...) beside it
-        (reference: conf/config_person.by_parts:22-31)."""
+        (reference: conf/config_person.by_parts:22-31).
+
+        Pipeline-level keys outside DECLARED_PARAMS (the reference
+        configs carry ``db`` and ``object_ids``) are NOT honored by the
+        detector cell; they are collected into ``self.ignored_params``
+        and warned about once, so migrating ORK users whose setup
+        depends on them get a signal instead of silence."""
         p = dict(self.detector_pipeline().parameters)
         extra = p.pop("extra", {}) or {}
+        dropped = sorted(k for k in p if k not in DECLARED_PARAMS)
         out = {k: v for k, v in p.items() if k in DECLARED_PARAMS}
         out.update(extra)
         # the reference configs carry use_cuda: false; nothing reads it
         # there (declared nowhere in cells/detect.cpp) and nothing here —
         # tolerated for compatibility, dropped on use
-        out.pop("use_cuda", None)
+        if out.pop("use_cuda", None) is not None:
+            dropped.append("use_cuda")
+        self.ignored_params = tuple(dropped)
+        if dropped:
+            import warnings
+            warnings.warn(
+                f"ignored ORK pipeline params: {', '.join(dropped)} "
+                "(not honored by this framework)", stacklevel=2)
         return out
 
 
@@ -81,7 +98,12 @@ def parse_by_parts(text_or_path: str) -> OrkConfig:
     (reference: test/CMakeLists.txt:5-9, .travis.yml:53-55): every cell
     mapping must carry ``type`` and ``module``; every ``inputs``/
     ``outputs`` entry must name another declared cell."""
-    if "\n" not in text_or_path and text_or_path.endswith(".by_parts"):
+    import os
+    if "\n" not in text_or_path and (
+            text_or_path.endswith(".by_parts")
+            or os.path.exists(text_or_path)):
+        # a newline-free string naming an existing file is a path even
+        # without the .by_parts extension (e.g. config.yaml)
         with open(text_or_path) as f:
             text = f.read()
     else:

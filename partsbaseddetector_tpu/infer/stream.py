@@ -106,19 +106,32 @@ class StreamingDetector:
             fn(value)
 
     # ------------------------------------------------- failure recovery
+    #: exception types treated as transient (retried): device/transport
+    #: runtime failures (XlaRuntimeError subclasses RuntimeError) and
+    #: I/O errors through the tunnel.  Deterministic programming errors
+    #: (TypeError/ValueError shape bugs raised at materialization) are
+    #: re-raised immediately without wasting a re-dispatch.
+    TRANSIENT_ERRORS = (RuntimeError, OSError)
+
     @staticmethod
     def _materialize(cands_b):
-        """Force the async dispatch to completion; device/transport
-        failures (dispatch is asynchronous, so they surface at fetch
-        time) raise HERE.  Seam for fault-injection tests."""
-        np.asarray(cands_b.score)
-        return cands_b
+        """Force the async dispatch to completion and fetch EVERY leaf to
+        host; device/transport failures (dispatch is asynchronous, so
+        they surface at fetch time) raise HERE — including failures on
+        the locations/levels leaves, not just score.  Seam for
+        fault-injection tests."""
+        import jax
 
-    def _fetch_or_retry(self, cands_b, rgbs):
+        return jax.tree.map(np.asarray, cands_b)
+
+    def _fetch_or_retry(self, cands_b, rgbs, redispatch=None):
         """Materialize a batch result; on a device/runtime failure,
         notify the ``error`` sink and RE-DISPATCH the batch (kernels are
         pure + deterministic, so a retry reproduces the exact result)
         with exponential backoff, up to ``max_retries`` times.
+
+        redispatch: zero-arg callable re-issuing the device call
+        (defaults to the batched detect on ``rgbs``).
 
         Neither the reference nor its runtime has any failure handling
         (SURVEY.md §5 "none anywhere"); this is the serving-level story
@@ -126,11 +139,13 @@ class StreamingDetector:
         hiccups cost one batch re-execution instead of the stream."""
         import time as _time
 
+        if redispatch is None:
+            redispatch = lambda: self.detector.detect_batch_raw(rgbs)
         delay = self.retry_backoff_s
         for attempt in range(self.max_retries + 1):
             try:
                 return self._materialize(cands_b)
-            except Exception as e:         # device/transport failure
+            except self.TRANSIENT_ERRORS as e:  # device/transport failure
                 self._emit("error", {"attempt": attempt,
                                      "exception": e,
                                      "frames": len(rgbs)})
@@ -138,15 +153,19 @@ class StreamingDetector:
                     raise
                 _time.sleep(delay)
                 delay *= 2
-                cands_b = self.detector.detect_batch_raw(rgbs)
+                cands_b = redispatch()
 
     def process(self, rgb: np.ndarray,
                 depth: Optional[np.ndarray] = None,
                 cloud: Optional[np.ndarray] = None) -> FrameResult:
         """Run one frame.  rgb: (H, W, 3); depth: (h, w) meters; cloud:
-        (H, W, 3) organized or (N, 3) unorganized camera-frame points."""
-        return self._postprocess(self.detector.detect_raw(rgb), rgb,
-                                 depth, cloud)
+        (H, W, 3) organized or (N, 3) unorganized camera-frame points.
+        Single frames go through the same fetch/retry seam as batches,
+        so the ecto/ORK path gets the identical recovery story."""
+        cands = self._fetch_or_retry(
+            self.detector.detect_raw(rgb), [rgb],
+            redispatch=lambda: self.detector.detect_raw(rgb))
+        return self._postprocess(cands, rgb, depth, cloud)
 
     def process_batch(self, rgbs, depths=None,
                       clouds=None) -> List[FrameResult]:
