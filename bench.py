@@ -31,19 +31,34 @@ import numpy as np
 IMG = (480, 640)
 BATCH = int(os.environ.get("PBD_BENCH_BATCH", "8"))
 FRAMES = 4 * BATCH
+#: "person26" (default; BASELINE.json config 2) or "face68" (the
+#: reference's second shipped flagship, conf/config_face.by_parts:31) —
+#: set via --model or PBD_BENCH_MODEL
+MODEL = os.environ.get("PBD_BENCH_MODEL", "person26")
+#: stage-2 engine: "spatial" | "fft" (--conv-engine / PBD_BENCH_CONV)
+CONV = os.environ.get("PBD_BENCH_CONV", "spatial")
+
+
+def make_flagship(name: str):
+    from partsbaseddetector_tpu.models import synthetic
+
+    if name == "face68":
+        model = synthetic.face_like()     # 68 parts, 272-filter bank
+    else:
+        model = synthetic.person_like()
+    model.thresh = 0.0
+    return model
 
 
 def measure_tpu_fps() -> dict:
     import jax
-    from partsbaseddetector_tpu.models import synthetic
     from partsbaseddetector_tpu.infer.detector import Detector
     from partsbaseddetector_tpu.utils.cache import enable_compilation_cache
 
     cache_dir = enable_compilation_cache()
 
-    model = synthetic.person_like()
-    model.thresh = 0.0
-    det = Detector(model, k_per_level=64)
+    model = make_flagship(MODEL)
+    det = Detector(model, k_per_level=64, conv_engine=CONV)
     rng = np.random.default_rng(0)
     frames = [(rng.random(IMG + (3,)) * 255).astype(np.uint8)
               for _ in range(FRAMES)]
@@ -99,6 +114,8 @@ def measure_tpu_fps() -> dict:
         "device": str(jax.devices()[0]),
         "frames": FRAMES,
         "batch": BATCH,
+        "model": MODEL,
+        "conv_engine": CONV,
         "cache_dir": cache_dir,
     }
 
@@ -112,16 +129,30 @@ def load_baseline() -> dict:
     return {}
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    global MODEL, CONV
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=MODEL,
+                    choices=("person26", "face68"))
+    ap.add_argument("--conv-engine", default=CONV,
+                    choices=("spatial", "fft"))
+    args = ap.parse_args(argv)
+    MODEL, CONV = args.model, args.conv_engine
+
     res = measure_tpu_fps()
     baseline = load_baseline()
     vs = None
-    if baseline.get("fps"):
+    # the measured OpenMP baseline is the person-26 workload; the
+    # face-68 variant reports fps without a baseline ratio
+    if baseline.get("fps") and MODEL == "person26":
         vs = res["fps"] / baseline["fps"]
+    desc = ("person-26 mixtures-of-parts" if MODEL == "person26"
+            else "face-68 mixtures-of-parts (272-filter bank)")
     out = {
-        "metric": "frames/sec/chip (person-26 mixtures-of-parts, "
-                  "640x480 full 46-scale pyramid, end-to-end detect, "
-                  "streamed)",
+        "metric": f"frames/sec/chip ({desc}, "
+                  "640x480 full pyramid, end-to-end detect, streamed)",
         "value": round(res["fps"], 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,

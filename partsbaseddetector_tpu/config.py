@@ -25,6 +25,10 @@ class RuntimeConfig:
                                    # reference quirk vs corrected; see
                                    # ops/dt.py)
     dt_impl: str = "auto"          # "xla" | auto (PERF.md §DT)
+    conv_engine: str = "spatial"   # "spatial" | "fft" stage-2 engine
+                                   # (the reference's engine wiring,
+                                   # src/PartsBasedDetector.cpp:108-118)
+    dp_split: int = 3              # stage-3/4 level groups per bucket
     max_overlap: float = 0.1       # paint-NMS overlap (ros/Node.cpp:196)
     remove_planes: bool = False    # plane removal before clustering
     max_candidates: Optional[int] = 32

@@ -30,8 +30,14 @@ from partsbaseddetector_tpu.models.schema import PartsModel
 from partsbaseddetector_tpu.infer.pyramid_plan import PyramidPlan, make_plan
 from partsbaseddetector_tpu.ops import argmax as argmax_ops
 from partsbaseddetector_tpu.ops.common import NEG
-from partsbaseddetector_tpu.ops.conv import conv_bank
+from partsbaseddetector_tpu.ops.conv import conv_bank, conv_bank_fft
 from partsbaseddetector_tpu.ops.dp import dp_min_levels
+
+#: selectable stage-2 convolution engines — the facade-level engine
+#: choice the reference makes when wiring the model
+#: (src/PartsBasedDetector.cpp:108-118: Spatial only; the Fourier
+#: engine was dead code, realized working in ops/conv.conv_bank_fft)
+CONV_ENGINES = {"spatial": conv_bank, "fft": conv_bank_fft}
 from partsbaseddetector_tpu.ops.hog import hog_features
 from partsbaseddetector_tpu.ops.imageops import pyr_down, resize_linear
 
@@ -129,14 +135,19 @@ def _dp_groups(bucket, dp_split: int):
 
 
 def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
-                 plan: PyramidPlan):
+                 plan: PyramidPlan, conv_engine: str = "spatial"):
     """Stages 1-2 for every bucket (ladder + HOG + filter-bank conv).
 
     Yields (bucket, pdfs, tsizes, scales) per octave bucket, where pdfs
     (L, fh, fw, F) is NEG-masked beyond each level's true extent so the
     DT can never pull a padded cell into the true region.  Shared by the
     single-resolution detect program and the multi-resolution one
-    (infer/multires.py)."""
+    (infer/multires.py).
+
+    conv_engine: "spatial" (direct MXU conv) or "fft" (frequency-domain
+    scoring) — the reference's engine choice at distributeModel time
+    (src/PartsBasedDetector.cpp:108-118)."""
+    conv = CONV_ENGINES[conv_engine]
     binsize = plan.binsize
     norient = packed.norient
     flen = packed.flen
@@ -171,7 +182,7 @@ def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
         # ---- stage 2: one conv for the whole bucket
         tsizes = jnp.asarray([lvl.featsize for lvl in bucket.levels],
                              jnp.int32)
-        pdfs = conv_bank(feats, packed.bank, true_size=tsizes)
+        pdfs = conv(feats, packed.bank, true_size=tsizes)
 
         # mask responses beyond each level's true extent
         fh, fw = bucket.feat_pad
@@ -194,7 +205,8 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     part_masks=None,
                     dp_split: int = 1,
                     depth=None,
-                    depth_cfg: Optional[DepthPrune] = None
+                    depth_cfg: Optional[DepthPrune] = None,
+                    conv_engine: str = "spatial"
                     ) -> argmax_ops.Candidates:
     """The full jitted detection program for one image.
 
@@ -207,7 +219,7 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
     all_cands: List[argmax_ops.Candidates] = []
 
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan):
+                                                     plan, conv_engine):
         if depth is not None and depth_cfg is not None:
             bad = _depth_bad_mask(depth, bucket, depth_cfg)
             pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
@@ -255,7 +267,8 @@ class Detector:
     def __init__(self, model: PartsModel, k_per_level: int = 64,
                  compose: str = "reference", dt_impl: str = "auto",
                  dp_split: int = 3,
-                 depth_prune: Optional[DepthPrune] = None):
+                 depth_prune: Optional[DepthPrune] = None,
+                 conv_engine: str = "spatial"):
         if model.max_scale() > 0:
             raise ValueError(
                 "model has parts at multiple resolutions (anchor ds > "
@@ -275,22 +288,39 @@ class Detector:
         self.dt_impl = dt_impl
         self.dp_split = int(dp_split)
         self.depth_prune = depth_prune
+        if conv_engine not in CONV_ENGINES:
+            raise ValueError(f"conv_engine {conv_engine!r}; one of "
+                             f"{sorted(CONV_ENGINES)}")
+        self.conv_engine = conv_engine
         # keys: (H, W) | ("batch", B, H, W) | ("masked"|"feats"|"depth",
         # H, W) -> (compiled fn, PyramidPlan)
         self._compiled: Dict[tuple, tuple] = {}
 
+    @classmethod
+    def from_config(cls, model: PartsModel, cfg) -> "Detector":
+        """Build from a config.RuntimeConfig (the unified typed config,
+        SURVEY.md §5 'one typed config covering model + runtime')."""
+        return cls(model, k_per_level=cfg.k_per_level,
+                   compose=cfg.compose, dt_impl=cfg.dt_impl,
+                   dp_split=cfg.dp_split, conv_engine=cfg.conv_engine)
+
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
         return make_plan(imshape, self.model.binsize, self.model.interval)
+
+    def _program(self, plan: PyramidPlan, **overrides):
+        """The detect program with this detector's static config bound
+        (the distributeModel step, src/PartsBasedDetector.cpp:102-127)."""
+        kw = dict(plan=plan, k_per_level=self.k_per_level,
+                  compose=self.compose, dt_impl=self.dt_impl,
+                  dp_split=self.dp_split, conv_engine=self.conv_engine)
+        kw.update(overrides)
+        return partial(_detect_program, **kw)
 
     def _get_fn(self, imshape: Tuple[int, int]):
         key = tuple(imshape)
         if key not in self._compiled:
             plan = self.plan_for(imshape)
-            fn = jax.jit(partial(_detect_program, plan=plan,
-                                 k_per_level=self.k_per_level,
-                                 compose=self.compose,
-                                 dt_impl=self.dt_impl,
-                                 dp_split=self.dp_split))
+            fn = jax.jit(self._program(plan))
             self._compiled[key] = (fn, plan)
         return self._compiled[key]
 
@@ -310,38 +340,44 @@ class Detector:
         key = ("depth",) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = self.plan_for(image.shape[:2])
-            fn = jax.jit(partial(_detect_program, plan=plan,
-                                 k_per_level=self.k_per_level,
-                                 compose=self.compose,
-                                 dt_impl=self.dt_impl,
-                                 dp_split=self.dp_split,
-                                 depth_cfg=self.depth_prune))
+            fn = jax.jit(self._program(plan, depth_cfg=self.depth_prune))
             self._compiled[key] = (fn, plan)
         fn, _ = self._compiled[key]
         return fn(image, self.packed, depth=jnp.asarray(depth))
 
-    def detect_batch_raw(self, images) -> argmax_ops.Candidates:
+    def detect_batch_raw(self, images, depths=None
+                         ) -> argmax_ops.Candidates:
         """Single-chip micro-batched detection: one device dispatch for a
         (B, H, W, 3) stack of frames (vmap of the detect program over the
         batch axis).  Amortizes per-dispatch host overhead and gives XLA
         a batch axis to overlap the small upper-pyramid levels across
         frames; the per-frame math is identical to detect_raw.  Returns
-        Candidates with a leading (B, ...) axis."""
+        Candidates with a leading (B, ...) axis.
+
+        depths: optional (B, H, W) metric depth maps (requires a
+        ``depth_prune`` config) — per-frame response pruning, identical
+        to the single-frame depth path."""
         images = jnp.asarray(images)
         if images.ndim != 4:
             raise ValueError("detect_batch_raw expects (B, H, W, 3) "
                              f"images, got shape {images.shape}")
-        key = ("batch", images.shape[0]) + tuple(images.shape[1:3])
+        use_depth = depths is not None and self.depth_prune is not None
+        key = (("batch", "depth") if use_depth else ("batch",)) \
+            + (images.shape[0],) + tuple(images.shape[1:3])
         if key not in self._compiled:
             plan = self.plan_for(images.shape[1:3])
-            single = partial(_detect_program, plan=plan,
-                             k_per_level=self.k_per_level,
-                             compose=self.compose, dt_impl=self.dt_impl,
-                             dp_split=self.dp_split)
-            fn = jax.jit(lambda ims, packed: jax.vmap(
-                lambda im: single(im, packed))(ims))
+            if use_depth:
+                single = self._program(plan, depth_cfg=self.depth_prune)
+                fn = jax.jit(lambda ims, ds, packed: jax.vmap(
+                    lambda im, d: single(im, packed, depth=d))(ims, ds))
+            else:
+                single = self._program(plan)
+                fn = jax.jit(lambda ims, packed: jax.vmap(
+                    lambda im: single(im, packed))(ims))
             self._compiled[key] = (fn, plan)
         fn, _ = self._compiled[key]
+        if use_depth:
+            return fn(images, jnp.asarray(depths), self.packed)
         return fn(images, self.packed)
 
     def detect_masked_raw(self, image, part_masks
@@ -353,11 +389,7 @@ class Detector:
         key = ("masked",) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = self.plan_for(image.shape[:2])
-            fn = jax.jit(partial(_detect_program, plan=plan,
-                                 k_per_level=self.k_per_level,
-                                 compose=self.compose,
-                                 dt_impl=self.dt_impl,
-                                 dp_split=self.dp_split))
+            fn = jax.jit(self._program(plan))
             self._compiled[key] = (fn, plan)
         fn, _ = self._compiled[key]
         return fn(image, self.packed,

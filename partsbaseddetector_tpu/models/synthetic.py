@@ -146,10 +146,17 @@ def person_like(seed: int = 0, **kw) -> PartsModel:
 
 
 def face_like(seed: int = 0, **kw) -> PartsModel:
-    """68-part face-scale model (reference: conf/config_face.by_parts:31)."""
+    """68-part face-scale model (reference: conf/config_face.by_parts:31,
+    Face_68parts).  The real model files live in an unavailable
+    submodule; this proxy keeps the structural stressors that
+    distinguish face-68 from person-26: 2.6x the parts (longer DP scan,
+    more backtracking steps), a 272-filter bank (~2.6x the MXU conv and
+    the FFT-crossover regime), and a denser tree.  Mixtures are uniform
+    (4 incl. root) so the same topology drives the dense-layout native
+    engine in the cross-engine parity test."""
     kw.setdefault("nparts", 68)
-    kw.setdefault("nmixtures", 1)
-    kw.setdefault("root_nmixtures", 1)
+    kw.setdefault("nmixtures", 4)
+    kw.setdefault("root_nmixtures", 4)
     kw.setdefault("binsize", 4)
     kw.setdefault("interval", 5)
     return make_model(name="face_like", seed=seed, **kw)

@@ -40,25 +40,38 @@ from partsbaseddetector_tpu.models.schema import PartsModel
 from partsbaseddetector_tpu.ops import argmax as argmax_ops
 
 
-def _stage1_program(image, packed, plan):
+def _stage1_program(image, packed, plan, conv_engine: str = "spatial",
+                    depth=None, depth_cfg=None):
     """Stages 1-2: ladder + HOG + conv for every bucket.  Returns a
     pytree of (pdfs, tsizes, scales) per bucket (bucket metadata is
-    static via the shared plan)."""
+    static via the shared plan).  Depth pruning happens HERE, on the
+    front group, so only pruned response maps cross the inter-group
+    link."""
+    from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
+    from partsbaseddetector_tpu.ops.common import NEG
+
     out = []
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan):
+                                                     plan, conv_engine):
+        if depth is not None and depth_cfg is not None:
+            bad = _depth_bad_mask(depth, bucket, depth_cfg)
+            pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
         out.append((pdfs, tsizes, scales))
     return tuple(out)
 
 
 def _stage2_program(per_bucket, packed, plan, k_per_level: int,
-                    compose: str, dp_split: int):
-    """Stages 3-4: DP + backtracking from transferred response maps."""
+                    compose: str, dp_split: int, part_masks=None):
+    """Stages 3-4: DP + backtracking from transferred response maps.
+    part_masks: optional per-bucket tuple of (L, P, fh, fw) bool masks
+    (latent-positive search), applied on the back group."""
     all_cands: List[argmax_ops.Candidates] = []
     for bucket, (pdfs, tsizes, scales) in zip(plan.buckets, per_bucket):
+        bmask = None if part_masks is None else \
+            part_masks[bucket.octave]
         all_cands.extend(dp_backtrack_bucket(
             bucket, pdfs, tsizes, scales, packed, k_per_level, compose,
-            dp_split=dp_split))
+            bmask=bmask, dp_split=dp_split))
     return argmax_ops.sort_candidates(
         argmax_ops.concat_candidates(all_cands))
 
@@ -73,13 +86,21 @@ class PipelinedDetector:
 
     def __init__(self, model: PartsModel, front, back,
                  k_per_level: int = 64, compose: str = "reference",
-                 dp_split: int = 3):
+                 dp_split: int = 3, conv_engine: str = "spatial",
+                 depth_prune=None):
+        if model.max_scale() > 0:
+            raise ValueError(
+                "multi-resolution models couple levels across octave "
+                "buckets; stage groups cannot split them — use the "
+                "data-parallel BatchDetector (multires)")
         self.model = model
         self.front = front
         self.back = back
         self.k_per_level = int(k_per_level)
         self.compose = compose
         self.dp_split = int(dp_split)
+        self.conv_engine = conv_engine
+        self.depth_prune = depth_prune      # infer.detector.DepthPrune
         packed = pack_model(model)
         # the front group only convolves: it needs the bank; the back
         # group needs the tree parameters
@@ -87,12 +108,18 @@ class PipelinedDetector:
         self.packed_back = jax.device_put(packed, back)
         self._compiled = {}
 
-    def _get_fns(self, imshape):
-        key = tuple(imshape)
+    def _get_fns(self, imshape, variant: str = ""):
+        key = (variant,) + tuple(imshape)
         if key not in self._compiled:
             plan = make_plan(imshape, self.model.binsize,
                              self.model.interval)
-            fn1 = jax.jit(partial(_stage1_program, plan=plan))
+            s1kw = dict(plan=plan, conv_engine=self.conv_engine)
+            if variant == "depth":
+                if self.depth_prune is None:
+                    raise ValueError("construct PipelinedDetector with "
+                                     "depth_prune=DepthPrune(...)")
+                s1kw["depth_cfg"] = self.depth_prune
+            fn1 = jax.jit(partial(_stage1_program, **s1kw))
             fn2 = jax.jit(partial(_stage2_program, plan=plan,
                                   k_per_level=self.k_per_level,
                                   compose=self.compose,
@@ -100,14 +127,37 @@ class PipelinedDetector:
             self._compiled[key] = (fn1, fn2, plan)
         return self._compiled[key]
 
-    def detect_raw(self, image) -> argmax_ops.Candidates:
+    def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
         """One frame through both stages (no pipelining benefit for a
-        single frame; use stream() for throughput)."""
+        single frame; use stream() for throughput).  depth: optional
+        (H, W) metric depth map (requires depth_prune; pruning runs on
+        the front group)."""
+        image = jnp.asarray(image)
+        if depth is not None and self.depth_prune is not None:
+            fn1, fn2, _ = self._get_fns(image.shape[:2], "depth")
+            s1 = fn1(jax.device_put(image, self.front),
+                     self.packed_front,
+                     depth=jax.device_put(jnp.asarray(depth),
+                                          self.front))
+        else:
+            fn1, fn2, _ = self._get_fns(image.shape[:2])
+            s1 = fn1(jax.device_put(image, self.front),
+                     self.packed_front)
+        s1_back = jax.device_put(s1, self.back)     # inter-group copy
+        return fn2(s1_back, self.packed_back)
+
+    def detect_masked_raw(self, image, part_masks
+                          ) -> argmax_ops.Candidates:
+        """Latent-positive masked search through the pipeline: masks
+        apply in the DP, so they ride to the back group only."""
         image = jnp.asarray(image)
         fn1, fn2, _ = self._get_fns(image.shape[:2])
         s1 = fn1(jax.device_put(image, self.front), self.packed_front)
-        s1_back = jax.device_put(s1, self.back)     # inter-group copy
-        return fn2(s1_back, self.packed_back)
+        s1_back = jax.device_put(s1, self.back)
+        masks_back = tuple(
+            jax.device_put(jnp.asarray(m), self.back)
+            for m in part_masks)
+        return fn2(s1_back, self.packed_back, part_masks=masks_back)
 
     def stream(self, frames, depth_of_pipeline: int = 2):
         """Generator over Candidates, one per frame, with up to

@@ -47,12 +47,20 @@ def make_scale_mesh(shape: Tuple[int, int] = None, devices=None) -> Mesh:
 
 
 def _scale_program(image, packed, plan, k_per_level: int, compose: str,
-                   mesh: Mesh):
+                   mesh: Mesh, conv_engine: str = "spatial",
+                   part_masks=None, depth=None, depth_cfg=None):
+    from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
+
     nscale = mesh.shape["scale"]
     spec4 = NamedSharding(mesh, P("scale", None, None, None))
     all_cands = []
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan):
+                                                     plan, conv_engine):
+        if depth is not None and depth_cfg is not None:
+            bad = _depth_bad_mask(depth, bucket, depth_cfg)
+            pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
+        bmask = None if part_masks is None else \
+            part_masks[bucket.octave]
         L = len(bucket.levels)
         pad = (-L) % nscale
         if pad:
@@ -63,12 +71,17 @@ def _scale_program(image, packed, plan, k_per_level: int, compose: str,
                 [tsizes, jnp.zeros((pad, 2), tsizes.dtype)], axis=0)
             scales = jnp.concatenate(
                 [scales, jnp.ones((pad,), scales.dtype)], axis=0)
+            if bmask is not None:
+                bmask = jnp.concatenate(
+                    [bmask, jnp.zeros((pad,) + bmask.shape[1:],
+                                      bmask.dtype)], axis=0)
         # levels spread over the scale axis from here on; the SPMD
         # partitioner propagates the sharding backward through the conv
         # and HOG vmaps and forward through the DP and backtracking
         pdfs = jax.lax.with_sharding_constraint(pdfs, spec4)
         for c, comp in enumerate(packed.components):
-            res = dp_min_levels(pdfs, comp, compose)
+            res = dp_min_levels(pdfs, comp, compose,
+                                part_masks=bmask)
             cands = argmax_ops.backtrack_levels(
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales, k_per_level, true_sizes=tsizes,
@@ -88,7 +101,8 @@ class ScaleShardedDetector:
     """
 
     def __init__(self, model: PartsModel, mesh: Mesh,
-                 k_per_level: int = 64, compose: str = "reference"):
+                 k_per_level: int = 64, compose: str = "reference",
+                 conv_engine: str = "spatial", depth_prune=None):
         if model.max_scale() > 0:
             raise ValueError("multi-resolution models: use the data-"
                              "parallel BatchDetector (multires)")
@@ -96,6 +110,8 @@ class ScaleShardedDetector:
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
         self.compose = compose
+        self.conv_engine = conv_engine
+        self.depth_prune = depth_prune      # infer.detector.DepthPrune
         packed = pack_model(model)
         # shard the filter bank over the filter axis (padded), like
         # BatchDetector; everything else replicated
@@ -116,17 +132,38 @@ class ScaleShardedDetector:
                                   NamedSharding(mesh, P())))
         self._compiled = {}
 
-    def detect_raw(self, image) -> argmax_ops.Candidates:
-        image = jnp.asarray(image)
-        key = tuple(image.shape[:2])
+    def _get_fn(self, imshape, variant: str = "", **static):
+        key = (variant,) + tuple(imshape)
         if key not in self._compiled:
-            plan = make_plan(image.shape[:2], self.model.binsize,
+            plan = make_plan(imshape, self.model.binsize,
                              self.model.interval)
             fn = jax.jit(partial(_scale_program, plan=plan,
                                  k_per_level=self.k_per_level,
-                                 compose=self.compose, mesh=self.mesh))
+                                 compose=self.compose, mesh=self.mesh,
+                                 conv_engine=self.conv_engine,
+                                 **static))
             self._compiled[key] = fn
-        return self._compiled[key](image, self.packed)
+        return self._compiled[key]
+
+    def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
+        """depth: optional (H, W) metric depth map — with a
+        ``depth_prune`` config, responses at implausible depths are
+        masked before the DP (same semantics as Detector.detect_raw)."""
+        image = jnp.asarray(image)
+        if depth is not None and self.depth_prune is not None:
+            fn = self._get_fn(image.shape[:2], "depth",
+                              depth_cfg=self.depth_prune)
+            return fn(image, self.packed, depth=jnp.asarray(depth))
+        return self._get_fn(image.shape[:2])(image, self.packed)
+
+    def detect_masked_raw(self, image, part_masks
+                          ) -> argmax_ops.Candidates:
+        """Latent-positive masked search, levels sharded (same mask
+        semantics as Detector.detect_masked_raw)."""
+        image = jnp.asarray(image)
+        fn = self._get_fn(image.shape[:2], "masked")
+        return fn(image, self.packed,
+                  part_masks=tuple(jnp.asarray(m) for m in part_masks))
 
     def detect(self, image, max_detections=None):
         from partsbaseddetector_tpu.infer.detector import Detector

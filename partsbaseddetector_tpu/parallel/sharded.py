@@ -36,13 +36,16 @@ class BatchDetector:
 
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
-                 dt_impl: str = "auto", dp_split: int = 3):
+                 dt_impl: str = "auto", dp_split: int = 3,
+                 conv_engine: str = "spatial", depth_prune=None):
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
         self.compose = compose
         self.dt_impl = "xla" if dt_impl == "auto" else dt_impl
         self.dp_split = int(dp_split)
+        self.conv_engine = conv_engine
+        self.depth_prune = depth_prune      # infer.detector.DepthPrune
         # multi-resolution models route through the multires program
         # (same facade; the single-res program asserts max_scale() == 0)
         self.multires = model.max_scale() > 0
@@ -67,13 +70,21 @@ class BatchDetector:
                 self.packed.thresh, NamedSharding(mesh, P())))
         self._compiled = {}
 
-    def _get_fn(self, imshape: Tuple[int, ...]):
-        key = tuple(imshape)
+    def _get_fn(self, imshape: Tuple[int, ...], variant: str = ""):
+        """variant: "" | "depth" | "masked" — the same feature set the
+        single-chip Detector exposes, batched + sharded (no silent
+        capability holes across parallelism paths)."""
+        key = (variant,) + tuple(imshape)
         if key not in self._compiled:
             plan = make_plan(imshape[1:3], self.model.binsize,
                              self.model.interval)
 
             if self.multires:
+                if variant:
+                    raise NotImplementedError(
+                        "depth pruning / masked search on multires "
+                        "models: use infer.multires.MultiResDetector "
+                        "semantics on the single-chip path")
                 from partsbaseddetector_tpu.infer.multires import \
                     _multires_program
 
@@ -81,36 +92,85 @@ class BatchDetector:
                     return _multires_program(
                         im, packed, plan, self.k_per_level)
             else:
-                def single(im, packed):
-                    return _detect_program(
-                        im, packed, plan=plan,
-                        k_per_level=self.k_per_level,
-                        compose=self.compose, dt_impl=self.dt_impl,
-                        dp_split=self.dp_split)
-
-            def batch_program(images, packed):
-                return jax.vmap(lambda im: single(im, packed))(images)
+                from functools import partial as _partial
+                base = _partial(
+                    _detect_program, plan=plan,
+                    k_per_level=self.k_per_level, compose=self.compose,
+                    dt_impl=self.dt_impl, dp_split=self.dp_split,
+                    conv_engine=self.conv_engine)
+                if variant == "depth":
+                    if self.depth_prune is None:
+                        raise ValueError("construct BatchDetector with "
+                                         "depth_prune=DepthPrune(...)")
+                    single = _partial(base, depth_cfg=self.depth_prune)
+                else:
+                    single = base
 
             img_sharding = NamedSharding(
                 self.mesh, P("data", None, None))
             out_sharding = NamedSharding(self.mesh, P("data"))
-            fn = jax.jit(batch_program,
-                         in_shardings=(img_sharding, None),
-                         out_shardings=out_sharding)
+            if variant == "depth":
+                def batch_program(images, depths, packed):
+                    return jax.vmap(lambda im, d: single(
+                        im, packed, depth=d))(images, depths)
+                fn = jax.jit(batch_program,
+                             in_shardings=(img_sharding,
+                                           NamedSharding(
+                                               self.mesh,
+                                               P("data", None, None)),
+                                           None),
+                             out_shardings=out_sharding)
+            elif variant == "masked":
+                def batch_program(images, masks, packed):
+                    return jax.vmap(lambda im, m: single(
+                        im, packed, part_masks=m))(images, masks)
+                mask_sharding = NamedSharding(self.mesh, P("data"))
+                fn = jax.jit(batch_program,
+                             in_shardings=(img_sharding, mask_sharding,
+                                           None),
+                             out_shardings=out_sharding)
+            else:
+                def batch_program(images, packed):
+                    return jax.vmap(lambda im: single(im, packed))(
+                        images)
+                fn = jax.jit(batch_program,
+                             in_shardings=(img_sharding, None),
+                             out_shardings=out_sharding)
             self._compiled[key] = fn
         return self._compiled[key]
 
-    def detect_batch(self, images) -> Candidates:
-        """images: (B, H, W[, 3]); B must divide evenly over the data
-        axis.  Returns Candidates with leading batch axis (B, ...)."""
+    def _check_batch(self, images):
         images = jax.numpy.asarray(images, jax.numpy.float32)
         ndata = self.mesh.shape["data"]
         if images.shape[0] % ndata:
             raise ValueError(
                 f"batch {images.shape[0]} not divisible by data axis "
                 f"{ndata}")
+        return images
+
+    def detect_batch(self, images, depths=None) -> Candidates:
+        """images: (B, H, W[, 3]); B must divide evenly over the data
+        axis.  Returns Candidates with leading batch axis (B, ...).
+
+        depths: optional (B, H, W) metric depth maps — with a
+        ``depth_prune`` config, per-frame stage-2 response pruning
+        exactly like Detector.detect_raw(image, depth)."""
+        images = self._check_batch(images)
+        if depths is not None:
+            fn = self._get_fn(images.shape, "depth")
+            return fn(images, jax.numpy.asarray(depths), self.packed)
         fn = self._get_fn(images.shape)
         return fn(images, self.packed)
+
+    def detect_masked_batch(self, images, part_masks) -> Candidates:
+        """Batched latent-positive masked search: part_masks is a
+        per-bucket tuple of (B, L, P, fh, fw) bool arrays (the batched
+        form of Detector.detect_masked_raw's per-image masks)."""
+        images = self._check_batch(images)
+        fn = self._get_fn(images.shape, "masked")
+        return fn(images,
+                  tuple(jax.numpy.asarray(m) for m in part_masks),
+                  self.packed)
 
     def detect_batch_distributed(self, local_images) -> Candidates:
         """Multi-PROCESS entry point (jax.distributed initialized, the

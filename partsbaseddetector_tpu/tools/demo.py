@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                     help="paint-NMS overlap; omit to skip NMS")
     ap.add_argument("--max-candidates", type=int, default=20)
     ap.add_argument("--k-per-level", type=int, default=64)
+    ap.add_argument("--conv-engine", default="spatial",
+                    choices=("spatial", "fft"),
+                    help="stage-2 scoring engine (the reference's "
+                         "engine wiring, src/PartsBasedDetector.cpp:"
+                         "108-118)")
     ap.add_argument("--platform", default=None,
                     help="cpu | tpu (default: $PBD_PLATFORM or image default)")
     args = ap.parse_args(argv)
@@ -67,7 +72,8 @@ def main(argv=None) -> int:
         det = MultiResDetector(model, k_per_level=args.k_per_level)
         print("multi-resolution model: using MultiResDetector")
     else:
-        det = Detector(model, k_per_level=args.k_per_level)
+        det = Detector(model, k_per_level=args.k_per_level,
+                       conv_engine=args.conv_engine)
     t0 = time.time()
     cands = det.detect_raw(im)
     if args.nms is not None:

@@ -120,3 +120,41 @@ def test_detect_batch_matches_single():
         assert be.keys() == se.keys()
         for k in be:
             assert abs(be[k] - se[k]) < 5e-4
+
+
+def test_conv_engine_fft_matches_spatial():
+    """The facade-level engine knob (the reference's engine wiring,
+    src/PartsBasedDetector.cpp:108-118): the FFT engine must reproduce
+    the spatial engine's candidates to float tolerance end to end."""
+    model = synthetic.tiny(seed=3)
+    model.thresh = -1e9
+    rng = np.random.default_rng(9)
+    im = rng.random((64, 64, 3)) * 255
+
+    ds = Detector(model, k_per_level=8, conv_engine="spatial")
+    df = Detector(model, k_per_level=8, conv_engine="fft")
+    cs = ds.detect_raw(im)
+    cf = df.detect_raw(im)
+    np.testing.assert_array_equal(np.asarray(cs.valid),
+                                  np.asarray(cf.valid))
+    np.testing.assert_allclose(np.asarray(cs.score),
+                               np.asarray(cf.score), atol=2e-3)
+    # top detections land at identical positions (ties aside, the
+    # float-tolerance responses pick the same argmaxes at the top)
+    v = np.asarray(cs.valid)
+    agree = (np.asarray(cs.loc)[v][:4] == np.asarray(cf.loc)[v][:4])
+    assert agree.all()
+
+    with pytest.raises(ValueError, match="conv_engine"):
+        Detector(model, conv_engine="wavelet")
+
+
+def test_detector_from_config():
+    from partsbaseddetector_tpu.config import RuntimeConfig
+
+    model = synthetic.tiny(seed=3)
+    cfg = RuntimeConfig(k_per_level=8, conv_engine="fft", dp_split=2)
+    det = Detector.from_config(model, cfg)
+    assert det.k_per_level == 8
+    assert det.conv_engine == "fft"
+    assert det.dp_split == 2

@@ -31,15 +31,22 @@ def native_engine():
         pytest.skip(f"native engine unavailable: {e}")
 
 
-@pytest.fixture(scope="module")
-def model():
-    # person-26 shape (conf/config_person.by_parts:30): 26 parts,
-    # 4 mixtures/part (uniform, incl. root, for the dense native layout),
-    # 5x5x32 filters, interval 10 -> full 29-scale pyramid at 320x240
-    m = synthetic.make_model(name="person26_uniform", nparts=26,
-                             nmixtures=4, root_nmixtures=4,
-                             filter_size=5, flen=32, norient=18,
-                             binsize=4, interval=10, seed=21)
+@pytest.fixture(scope="module", params=["person26", "face68"])
+def model(request):
+    if request.param == "person26":
+        # person-26 shape (conf/config_person.by_parts:30): 26 parts,
+        # 4 mixtures/part (uniform, incl. root, for the dense native
+        # layout), 5x5x32 filters, interval 10 -> full 29-scale pyramid
+        # at 320x240
+        m = synthetic.make_model(name="person26_uniform", nparts=26,
+                                 nmixtures=4, root_nmixtures=4,
+                                 filter_size=5, flen=32, norient=18,
+                                 binsize=4, interval=10, seed=21)
+    else:
+        # face-68 shape (conf/config_face.by_parts:31): 68 parts,
+        # 272-filter bank, interval 5 — stresses K, the bank size and
+        # the DP scan length (2.6x the parts of person-26)
+        m = synthetic.face_like(seed=22)
     m.thresh = -1e9          # rank by top-k, not threshold
     return m
 
@@ -76,6 +83,9 @@ def _by_level(cands):
 
 @pytest.mark.parametrize("seed", [101, 202])
 def test_cross_engine_candidates(native_engine, model, seed):
+    if model.name == "face_like" and seed != 101:
+        pytest.skip("one seed suffices for the face-68 topology "
+                    "(runtime; person-26 covers seed variation)")
     img = structured_image(seed)
 
     native = native_engine.detect(img, model, k_per_level=K_PER_LEVEL)
