@@ -116,3 +116,85 @@ def synthetic_figures(n: int = 20, imsize: Tuple[int, int] = (96, 96),
                           scale=scale))
     neg = [rng.random((H, W)) * noise for _ in range(max(n // 2, 2))]
     return pos, neg
+
+
+# 26-part person-like skeleton: (parent, (dx, dy)) per part, the scale
+# of the reference's Person_26parts flagship (conf/config_person.
+# by_parts:30).  Left/right limbs mirror under PERSON26_MIRROR.
+PERSON26_TREE = [
+    (-1, (0, 0)),      # 0  torso center
+    (0, (0, -10)),     # 1  chest
+    (1, (0, -8)),      # 2  neck
+    (2, (0, -8)),      # 3  head
+    (2, (-10, 1)),     # 4  L shoulder
+    (4, (-8, 6)),      # 5  L elbow
+    (5, (-6, 8)),      # 6  L wrist
+    (2, (10, 1)),      # 7  R shoulder
+    (7, (8, 6)),       # 8  R elbow
+    (8, (6, 8)),       # 9  R wrist
+    (0, (0, 10)),      # 10 belly
+    (10, (0, 10)),     # 11 pelvis
+    (11, (-7, 2)),     # 12 L hip
+    (12, (-2, 12)),    # 13 L knee
+    (13, (0, 12)),     # 14 L ankle
+    (14, (-4, 3)),     # 15 L foot
+    (11, (7, 2)),      # 16 R hip
+    (16, (2, 12)),     # 17 R knee
+    (17, (0, 12)),     # 18 R ankle
+    (18, (4, 3)),      # 19 R foot
+    (6, (-3, 5)),      # 20 L hand
+    (9, (3, 5)),       # 21 R hand
+    (3, (-6, 0)),      # 22 L ear
+    (3, (6, 0)),       # 23 R ear
+    (3, (0, -7)),      # 24 crown
+    (3, (0, 6)),       # 25 chin
+]
+PERSON26_PARENTS = [p for p, _ in PERSON26_TREE]
+PERSON26_MIRROR = [0, 1, 2, 3, 7, 8, 9, 4, 5, 6, 10, 11, 16, 17, 18,
+                   19, 12, 13, 14, 15, 21, 20, 23, 22, 24, 25]
+
+
+def synthetic_skeletons(n: int = 16,
+                        imsize: Tuple[int, int] = (128, 96),
+                        tree: Sequence[Tuple[int, Tuple[int, int]]]
+                        = tuple(PERSON26_TREE),
+                        seed: int = 0, noise: float = 40.0,
+                        blob: int = 6, jitter: int = 2
+                        ) -> Tuple[List[Sample], List[np.ndarray]]:
+    """Planted articulated SKELETONS in noise: a full part tree with
+    per-part 2-D offsets and articulation jitter, the 26-part-scale
+    counterpart of synthetic_figures' 1-D chain.  Per-part blob
+    intensity/size vary deterministically so parts carry appearance
+    cues beyond pure geometry."""
+    rng = np.random.default_rng(seed)
+    H, W = imsize
+    offs = np.asarray([o for _, o in tree], float)
+    parents = [p for p, _ in tree]
+    P = len(tree)
+    # nominal layout to find extents
+    nominal = np.zeros((P, 2))
+    for p in range(1, P):
+        nominal[p] = nominal[parents[p]] + offs[p]
+    lo = nominal.min(0) - blob - jitter - 2
+    hi = nominal.max(0) + blob + jitter + 2
+    pos: List[Sample] = []
+    for _ in range(n):
+        im = rng.random((H, W)) * noise
+        rx = int(rng.integers(int(-lo[0]), int(W - hi[0])))
+        ry = int(rng.integers(int(-lo[1]), int(H - hi[1])))
+        pts = np.zeros((P, 2))
+        pts[0] = (rx, ry)
+        for p in range(1, P):
+            jit = rng.integers(-jitter, jitter + 1, size=2)
+            pts[p] = pts[parents[p]] + offs[p] + jit
+        for p in range(P):
+            r = blob // 2 + (p % 3)          # size cue per part
+            inten = 120 + 18 * (p % 4)       # intensity cue per part
+            x, y = int(pts[p, 0]), int(pts[p, 1])
+            im[max(y - r, 0):y + r + 1,
+               max(x - r, 0):x + r + 1] += inten
+        span = pts.max(0) - pts.min(0)
+        pos.append(Sample(image=np.clip(im, 0, 255), points=pts,
+                          scale=float(np.sqrt(span[0] * span[1]))))
+    neg = [rng.random((H, W)) * noise for _ in range(max(n // 3, 2))]
+    return pos, neg

@@ -15,11 +15,21 @@ pattern, SURVEY.md §5).  Detection-side work (pyramids, HOG, masked
 latent search, mining) runs on the accelerator through the Detector;
 the QP cache is host-side numpy, like the reference's.
 
-Simplifications vs the reference (documented):
-  * no left/right flip augmentation of positives;
-  * stage-1 negatives are random crops of the negative images rather
-    than mined (stage 2 performs real mining);
-  * k-means restarts use a shared RNG stream.
+Fidelity notes vs the reference:
+  * left/right flip augmentation: pass ``mirror_map`` (the part
+    permutation under mirroring) to train_parts_model — every positive
+    is doubled with its mirrored virtual example (train.m:130,165
+    "we create virtual examples by flipping each image left to right";
+    the flip itself happens in the reference's data prep, globals.m:22
+    imflip cache);
+  * stage-1 negatives are MINED with the part's own single-filter model
+    at interval 2 (train.m:100-107 applies to warp=1 training too); a
+    few random crops seed the cache first (a conditioning choice, not a
+    gap — the reference starts from positives only);
+  * mining PRUNES the example cache and continues when full
+    (detect.m:319-321 optimize -> qp_opt + qp_prune; train.m:105-107
+    stops only once the cache is full of support vectors);
+  * k-means restarts use a shared RNG stream (deterministic).
 """
 
 from __future__ import annotations
@@ -72,12 +82,26 @@ def _stage_cache(cache_dir: Optional[str], name: str):
 
 def _train_filter_svm(pos_feats: List[np.ndarray],
                       neg_feats: List[np.ndarray],
-                      C: float, wpos: float, seed: int) -> np.ndarray:
+                      C: float, wpos: float, seed: int,
+                      neg_images: Sequence[np.ndarray] = (),
+                      cfg: Optional["TrainConfig"] = None,
+                      det_holder: Optional[dict] = None) -> np.ndarray:
     """Binary linear SVM (bias + one filter block) via the dual CD QP —
-    stage 1's train(warp=1) on one part mixture."""
+    stage 1's train(warp=1) on one part mixture, with hard-negative
+    MINING on the negative images using the part's own single-filter
+    model (reference: train.m:95-107 — the warp=1 call runs the same
+    detect-based mining loop), prune-and-continue when the cache fills
+    (detect.m:319-321).
+
+    det_holder: shared dict carrying the mining Detector across
+    (part, mixture) calls — filters share a shape, so one compiled
+    program serves them all via update_model."""
     fshape = pos_feats[0].shape
     length = 1 + int(np.prod(fshape))
-    qp = QPCache(length, nmax=len(pos_feats) + len(neg_feats),
+    nmax = (cfg.nmax if cfg is not None
+            else 4 * (len(pos_feats) + len(neg_feats) + 1))
+    nmax = max(nmax, len(pos_feats) + len(neg_feats) + 8)
+    qp = QPCache(length, nmax=nmax,
                  wreg=np.ones(length), w0=np.zeros(length),
                  noneg=np.zeros(0, np.int64),
                  c_pos=C * wpos, c_neg=C, seed=seed)
@@ -88,6 +112,44 @@ def _train_filter_svm(pos_feats: List[np.ndarray],
                  (-1, i, 0, 0, 0), -1)
     qp.svfix = len(pos_feats)
     qp.optimize(tol=0.05, max_iter=300)
+
+    if cfg is not None and len(neg_images):
+        # -- mining round: detect with the current filter on the
+        # negative set, harvest every above-threshold window
+        w = qp.final_w()
+        model1 = _single_filter_model(
+            w[1:].reshape(fshape), w[0], cfg.binsize, cfg.norient,
+            cfg.flen, cfg.mining_thresh)
+        if det_holder is not None and "det" in det_holder:
+            det = det_holder["det"]
+            det.update_model(model1)
+        else:
+            det = Detector(model1, k_per_level=cfg.k_per_level,
+                           compose="correct")
+            if det_holder is not None:
+                det_holder["det"] = det
+        saturated = False
+        for i, im in enumerate(neg_images):
+            dets = det.candidates_to_detections(det.detect_raw(im))
+            feats = None
+            for d in dets:
+                if qp.n >= qp.nmax:
+                    qp.optimize(tol=0.05, max_iter=300)
+                    qp.prune()           # prune-and-continue
+                    if qp.n >= qp.nmax:  # cache full of support vectors
+                        saturated = True
+                        break
+                if feats is None:
+                    feats = det.pyramid_features(im)
+                x, y, _m = (int(v) for v in d.locations[0])
+                patch = feat_mod._gather_patch(
+                    feats[d.level], y, x, fshape[0], fshape[1])
+                qp.write(np.concatenate([[1.0], patch.ravel()]),
+                         (-1, i, d.level, y, x), -1)
+            if saturated:
+                break
+        qp.optimize(tol=0.05, max_iter=300)
+
     w = qp.final_w()
     return w[1:].reshape(fshape)
 
@@ -110,6 +172,52 @@ def _random_negative_feats(neg_images: Sequence[np.ndarray],
     return out
 
 
+def flip_positives(images: Sequence[np.ndarray], points: np.ndarray,
+                   mirror_map: Sequence[int]
+                   ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Left/right flip augmentation: every positive gains a mirrored
+    virtual example (reference: train.m:130,165; the flipping lives in
+    the data-prep layer there, globals.m:22).  mirror_map[p] = the part
+    index p maps to under mirroring (e.g. left wrist <-> right wrist;
+    identity for symmetric parts)."""
+    mirror_map = [int(m) for m in mirror_map]
+    P = points.shape[1]
+    assert sorted(mirror_map) == list(range(P)), mirror_map
+    out_imgs = list(images)
+    out_pts = [points]
+    flipped = []
+    for im, pts in zip(images, points):
+        w = im.shape[1]
+        out_imgs.append(np.ascontiguousarray(im[:, ::-1]))
+        fp = pts[mirror_map].copy()
+        fp[:, 0] = (w - 1) - fp[:, 0]
+        flipped.append(fp)
+    out_pts.append(np.stack(flipped))
+    return out_imgs, np.concatenate(out_pts, axis=0)
+
+
+def _single_filter_model(filt: np.ndarray, bias: float, binsize: int,
+                         norient: int, flen: int,
+                         thresh: float) -> PartsModel:
+    """One-part one-mixture model wrapping a stage-1 filter, so
+    hard-negative mining for the part SVM runs through the SAME
+    accelerator detector as stage-3 mining (the reference mines stage-1
+    negatives with detect() on the part model, train.m:100-107)."""
+    from partsbaseddetector_tpu.models.schema import (ComponentSpec,
+                                                      PartSpec)
+
+    part = PartSpec(parentid=-1, filterid=[0], biasid=[0], defid=[0])
+    m = PartsModel(
+        name="stage1_mining", interval=2, thresh=thresh,
+        binsize=binsize, norient=norient, flen=flen,
+        filters=[np.asarray(filt, np.float64)],
+        defw=[np.zeros(4)], anchors=[np.zeros(2, np.int64)],
+        biasw=np.asarray([float(bias)]),
+        components=[ComponentSpec(parts=[part])])
+    m.validate()
+    return m
+
+
 def train_parts_model(name: str,
                       pos_images: Sequence[np.ndarray],
                       pos_points: np.ndarray,
@@ -117,8 +225,15 @@ def train_parts_model(name: str,
                       parents: Sequence[int],
                       cfg: TrainConfig = TrainConfig(),
                       cache_dir: Optional[str] = None,
-                      verbose: bool = True) -> PartsModel:
-    """Full training pipeline.  pos_points: (N, P, 2) keypoints."""
+                      verbose: bool = True,
+                      mirror_map: Optional[Sequence[int]] = None
+                      ) -> PartsModel:
+    """Full training pipeline.  pos_points: (N, P, 2) keypoints.
+
+    mirror_map: optional part permutation under left/right mirroring
+    (e.g. left elbow <-> right elbow; identity for symmetric parts).
+    When given, every positive is doubled with its flipped virtual
+    example (reference: train.m:130,165)."""
     rng = np.random.default_rng(cfg.seed)
     P = pos_points.shape[1]
     parents = [int(x) for x in parents]
@@ -126,6 +241,12 @@ def train_parts_model(name: str,
     def log(msg):
         if verbose:
             print(f"[train {name}] {msg}", flush=True)
+
+    if mirror_map is not None:
+        pos_images, pos_points = flip_positives(pos_images, pos_points,
+                                                mirror_map)
+        log(f"flip augmentation: {len(pos_images)} positives "
+            "(originals + mirrored)")
 
     # ---- stage 0: geometry + clustering (trainmodel.m:9-16)
     boxes = cluster_mod.point_to_box(pos_points, parents)
@@ -146,6 +267,7 @@ def train_parts_model(name: str,
             neg_images, tsize, cfg.binsize, cfg.norient, cfg.flen,
             cfg.neg_per_image * max(len(neg_images), 1), rng)
         filters_per_part = []
+        det_holder: dict = {}     # one mining detector for all parts
         for p in range(P):
             mix_filters = []
             for k in range(cfg.nmix):
@@ -158,10 +280,13 @@ def train_parts_model(name: str,
                         np.zeros(tsize + (cfg.flen,)))
                     continue
                 filt = _train_filter_svm(feats, neg_feats, cfg.C,
-                                         cfg.wpos, cfg.seed)
+                                         cfg.wpos, cfg.seed,
+                                         neg_images=neg_images,
+                                         cfg=cfg,
+                                         det_holder=det_holder)
                 mix_filters.append(filt)
             filters_per_part.append(mix_filters)
-            log(f"stage 1: part {p + 1}/{P} trained")
+            log(f"stage 1: part {p + 1}/{P} trained (mined negatives)")
         if path:
             np.savez(path, filters=np.asarray(
                 filters_per_part, dtype=object))
@@ -246,7 +371,8 @@ def latent_train(model: PartsModel,
         mining_model.thresh = cfg.mining_thresh
         mdet = Detector(mining_model, k_per_level=cfg.k_per_level,
                         compose="correct")
-        full = False
+        saturated = False
+        pruned = 0
         for i, im in enumerate(neg_images):
             cands = mdet.detect_raw(im)
             dets = mdet.candidates_to_detections(cands)
@@ -254,16 +380,33 @@ def latent_train(model: PartsModel,
                 continue
             feats = mdet.pyramid_features(im)
             for d in dets:
+                if qp.n >= qp.nmax:
+                    # prune-and-continue (detect.m:319-321: when the
+                    # cache fills, qp_opt + qp_prune drop non-support
+                    # examples and mining resumes; train.m:105-107
+                    # stops only when the cache is ALL support vectors)
+                    qp.optimize()
+                    qp.prune()
+                    pruned += 1
+                    if qp.n >= qp.nmax:
+                        saturated = True
+                        break
+                    # mid-mining model refresh, like the reference's
+                    # optimize() -> vec2model inside detect
+                    mining_model = vec_to_model(
+                        qp.final_w(), mining_model, layout)
+                    mining_model.thresh = cfg.mining_thresh
+                    mdet.update_model(mining_model)
                 vec = feat_mod.detection_feature(mining_model, layout,
                                                  d, feats)
-                if not qp.write(vec, (-1, i, d.level,
-                                      d.locations[0, 1],
-                                      d.locations[0, 0]), -1):
-                    full = True
-                    break
-            if full:
+                qp.write(vec, (-1, i, d.level, d.locations[0, 1],
+                               d.locations[0, 0]), -1)
+            if saturated:
+                log(f"iter {t + 1}: cache saturated with support "
+                    f"vectors after image {i + 1}/{len(neg_images)}")
                 break
-        log(f"iter {t + 1}: cache {qp.n}/{cfg.nmax} after mining")
+        log(f"iter {t + 1}: cache {qp.n}/{cfg.nmax} after mining "
+            f"({pruned} prune-and-continue passes)")
         qp.optimize()
         model = vec_to_model(qp.final_w(), model, layout)
 

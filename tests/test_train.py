@@ -173,3 +173,55 @@ def test_tiny_training_run(tmp_path):
     neg_scores = [d.score for d in det.detect(neg_images[0],
                                               max_detections=1)]
     assert dets[0].score > neg_scores[0]
+
+
+def test_flip_positives_mirror_map():
+    """Flip augmentation doubles positives; mirrored keypoints land at
+    (W-1-x) under the part permutation (train.m:130,165)."""
+    from partsbaseddetector_tpu.train.trainer import flip_positives
+
+    rng = np.random.default_rng(0)
+    ims = [rng.random((10, 20)), rng.random((8, 16))]
+    pts = np.array([[[2.0, 3.0], [5.0, 7.0]],
+                    [[1.0, 1.0], [9.0, 4.0]]])
+    out_ims, out_pts = flip_positives(ims, pts, mirror_map=[1, 0])
+    assert len(out_ims) == 4 and out_pts.shape == (4, 2, 2)
+    np.testing.assert_array_equal(out_ims[2], ims[0][:, ::-1])
+    # part 0 of the flipped example is the MIRROR of part 1
+    np.testing.assert_allclose(out_pts[2, 0], [20 - 1 - 5.0, 7.0])
+    np.testing.assert_allclose(out_pts[2, 1], [20 - 1 - 2.0, 3.0])
+    # identity mirror keeps part order
+    _, idp = flip_positives(ims, pts, mirror_map=[0, 1])
+    np.testing.assert_allclose(idp[2, 0], [20 - 1 - 2.0, 3.0])
+
+    import pytest
+    with pytest.raises(AssertionError):
+        flip_positives(ims, pts, mirror_map=[0, 0])
+
+
+def test_qp_prune_and_continue_mining():
+    """With a cache far smaller than the mined negative stream, mining
+    must prune and keep going (detect.m:319-321) instead of stopping at
+    the first cache-full, and the model must still train to a working
+    threshold."""
+    from partsbaseddetector_tpu.tools.datasets import synthetic_figures
+    from partsbaseddetector_tpu.train.trainer import (TrainConfig,
+                                                      train_parts_model)
+
+    pos, neg = synthetic_figures(n=8, imsize=(64, 64), nparts=2,
+                                 seed=3)
+    logs = []
+    cfg = TrainConfig(nmix=1, binsize=4, interval=3, latent_iters=1,
+                      nmax=24,       # tiny: forces prune-and-continue
+                      k_per_level=8, neg_per_image=4, C=0.05,
+                      overlap=0.35)
+    model = train_parts_model(
+        "prunetest", [s.image for s in pos],
+        np.stack([s.points for s in pos]), neg[:3], [-1, 0], cfg,
+        cache_dir=None, verbose=True)
+    # the model is usable: it still detects the planted figures
+    from partsbaseddetector_tpu.infer.detector import Detector
+    model.thresh = -1e9
+    det = Detector(model, k_per_level=4)
+    dets = det.candidates_to_detections(det.detect_raw(pos[0].image), 1)
+    assert dets
