@@ -206,7 +206,8 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     dp_split: int = 1,
                     depth=None,
                     depth_cfg: Optional[DepthPrune] = None,
-                    conv_engine: str = "spatial"
+                    conv_engine: str = "spatial",
+                    walk_impl: str = "xla"
                     ) -> argmax_ops.Candidates:
     """The full jitted detection program for one image.
 
@@ -227,7 +228,7 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
             part_masks[bucket.octave]
         all_cands.extend(dp_backtrack_bucket(
             bucket, pdfs, tsizes, scales, packed, k_per_level, compose,
-            dt_impl, bmask, dp_split))
+            dt_impl, bmask, dp_split, walk_impl))
 
     merged = argmax_ops.concat_candidates(all_cands)
     return argmax_ops.sort_candidates(merged)
@@ -236,7 +237,8 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
 def dp_backtrack_bucket(bucket, pdfs, tsizes, scales,
                         packed: PackedModel, k_per_level: int,
                         compose: str, dt_impl: str = "xla",
-                        bmask=None, dp_split: int = 1
+                        bmask=None, dp_split: int = 1,
+                        walk_impl: str = "xla"
                         ) -> List[argmax_ops.Candidates]:
     """Stages 3-4 for one octave bucket: per (level group, component)
     DP + backtracking.  Groups re-pad to their own largest level so the
@@ -252,7 +254,8 @@ def dp_backtrack_bucket(bucket, pdfs, tsizes, scales,
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales[lo:hi], k_per_level, true_sizes=tsizes[lo:hi],
                 component_index=c,
-                level_offset=bucket.levels[lo].index, compose=compose)
+                level_offset=bucket.levels[lo].index, compose=compose,
+                walk_impl=walk_impl)
             out.append(cands)
     return out
 
@@ -268,7 +271,8 @@ class Detector:
                  compose: str = "reference", dt_impl: str = "auto",
                  dp_split: int = 3,
                  depth_prune: Optional[DepthPrune] = None,
-                 conv_engine: str = "spatial"):
+                 conv_engine: str = "spatial",
+                 walk_impl: str = "auto"):
         if model.max_scale() > 0:
             raise ValueError(
                 "model has parts at multiple resolutions (anchor ds > "
@@ -292,6 +296,16 @@ class Detector:
             raise ValueError(f"conv_engine {conv_engine!r}; one of "
                              f"{sorted(CONV_ENGINES)}")
         self.conv_engine = conv_engine
+        if walk_impl == "auto":
+            # the fused Pallas walk replaces ~3 launch-bound gather ops
+            # per part with one kernel per (bucket, group); it is a TPU
+            # (Mosaic) kernel, so other backends keep the XLA walk
+            # (the interpret-mode kernel exists for parity tests only)
+            walk_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        if walk_impl not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"walk_impl {walk_impl!r}")
+        self.walk_impl = walk_impl
         # keys: (H, W) | ("batch", B, H, W) | ("masked"|"feats"|"depth",
         # H, W) -> (compiled fn, PyramidPlan)
         self._compiled: Dict[tuple, tuple] = {}
@@ -312,7 +326,8 @@ class Detector:
         (the distributeModel step, src/PartsBasedDetector.cpp:102-127)."""
         kw = dict(plan=plan, k_per_level=self.k_per_level,
                   compose=self.compose, dt_impl=self.dt_impl,
-                  dp_split=self.dp_split, conv_engine=self.conv_engine)
+                  dp_split=self.dp_split, conv_engine=self.conv_engine,
+                  walk_impl=self.walk_impl)
         kw.update(overrides)
         return partial(_detect_program, **kw)
 

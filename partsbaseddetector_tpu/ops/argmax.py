@@ -107,16 +107,86 @@ def backtrack(res: DPResult, comp: PackedComponent,
         loc=jnp.stack([X, Y, Mm], axis=-1).astype(jnp.int32))
 
 
+def _root_seeds(rootv, rooti, thresh, k: int, true_size=None):
+    """Top-k root positions for one level: (topv, valid, xs, ys, mv)."""
+    H, W = rootv.shape
+    if true_size is not None:
+        h, w = true_size
+        inb = ((jnp.arange(H) < h)[:, None]
+               & (jnp.arange(W) < w)[None, :])
+        rootv = jnp.where(inb, rootv, -jnp.inf)
+    k_eff = min(k, H * W)
+    topv, topi = jax.lax.top_k(rootv.ravel(), k_eff)
+    if k_eff < k:
+        topv = jnp.concatenate(
+            [topv, jnp.full((k - k_eff,), -jnp.inf, topv.dtype)])
+        topi = jnp.concatenate(
+            [topi, jnp.zeros((k - k_eff,), topi.dtype)])
+    ys = (topi // W).astype(jnp.int32)
+    xs = (topi % W).astype(jnp.int32)
+    return topv, topv > thresh, xs, ys, rooti[ys, xs]
+
+
+def _walked_candidates(X, Y, Mm, topv, valid, comp, scales, k: int,
+                       component_index: int, levels) -> Candidates:
+    """Assemble the flat Candidates pytree from walked positions.
+    X/Y/Mm: (L, P, K); topv/valid: (L, K); scales/levels: (L,)."""
+    L, P, K = X.shape
+    X = jnp.moveaxis(X, 1, 2)          # (L, K, P)
+    Y = jnp.moveaxis(Y, 1, 2)
+    Mm = jnp.moveaxis(Mm, 1, 2)
+    scale = scales.astype(jnp.float32)[:, None, None]
+    sizes = comp.fsize[jnp.arange(P)[None, None, :], Mm]  # (L, K, P)
+    x1 = jnp.rint((X - 1) * scale)
+    y1 = jnp.rint((Y - 1) * scale)
+    ext = jnp.rint(sizes * scale)
+    boxes = jnp.stack([x1, y1, x1 + ext - 1, y1 + ext - 1], axis=-1)
+    out = Candidates(
+        score=topv.astype(jnp.float32),
+        valid=valid,
+        component=jnp.full((L, K), component_index, jnp.int32),
+        level=jnp.broadcast_to(levels[:, None], (L, K)).astype(
+            jnp.int32),
+        boxes=boxes.astype(jnp.float32),
+        loc=jnp.stack([X, Y, Mm], axis=-1).astype(jnp.int32))
+    return jax.tree.map(
+        lambda x: x.reshape((L * k,) + x.shape[2:]), out)
+
+
 def backtrack_levels(res: DPResult, comp: PackedComponent,
                      parent_static: Sequence[int], thresh,
                      scales: jnp.ndarray, k: int,
                      true_sizes=None, component_index: int = 0,
                      level_offset: int = 0,
-                     compose: str = "reference") -> Candidates:
-    """vmapped backtracking over a leading levels axis, returning a flat
-    Candidates of capacity L*k."""
+                     compose: str = "reference",
+                     walk_impl: str = "xla") -> Candidates:
+    """Backtracking over a leading levels axis, returning a flat
+    Candidates of capacity L*k.
+
+    walk_impl: "xla" (vmapped unrolled gathers) or "pallas" /
+    "pallas_interpret" (the fused walk kernel, ops/walk_pallas.py —
+    bit-identical results, ~one device op instead of ~3 per part)."""
     L = res.rootv.shape[0]
     levels = jnp.arange(L, dtype=jnp.int32) + level_offset
+    if walk_impl.startswith("pallas"):
+        from partsbaseddetector_tpu.ops.walk_pallas import \
+            walk_tree_pallas
+
+        if true_sizes is None:
+            topv, valid, xs, ys, mv = jax.vmap(
+                lambda rv, ri: _root_seeds(rv, ri, thresh, k))(
+                    res.rootv, res.rooti)
+        else:
+            topv, valid, xs, ys, mv = jax.vmap(
+                lambda rv, ri, ts: _root_seeds(rv, ri, thresh, k, ts))(
+                    res.rootv, res.rooti, true_sizes)
+        X, Y, Mm = walk_tree_pallas(
+            res.scores, res.tmp, xs, ys, mv,
+            comp.defw, comp.anchor.astype(jnp.float32), comp.bias,
+            jnp.asarray(parent_static, jnp.int32), compose=compose,
+            interpret=(walk_impl == "pallas_interpret"))
+        return _walked_candidates(X, Y, Mm, topv, valid, comp, scales,
+                                  k, component_index, levels)
     if true_sizes is None:
         fn = jax.vmap(lambda r, s, li: backtrack(
             r, comp, parent_static, thresh, s, k, None,
