@@ -28,7 +28,7 @@ class RuntimeConfig:
     conv_engine: str = "spatial"   # "spatial" | "fft" stage-2 engine
                                    # (the reference's engine wiring,
                                    # src/PartsBasedDetector.cpp:108-118)
-    dp_split: int = 3              # stage-3/4 level groups per bucket
+    dp_split: int = 5              # stage-3/4 level groups per bucket
     max_overlap: float = 0.1       # paint-NMS overlap (ros/Node.cpp:196)
     remove_planes: bool = False    # plane removal before clustering
     max_candidates: Optional[int] = 32

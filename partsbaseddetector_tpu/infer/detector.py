@@ -269,7 +269,7 @@ class Detector:
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
                  compose: str = "reference", dt_impl: str = "auto",
-                 dp_split: int = 3,
+                 dp_split: int = 5,
                  depth_prune: Optional[DepthPrune] = None,
                  conv_engine: str = "spatial",
                  walk_impl: str = "auto"):

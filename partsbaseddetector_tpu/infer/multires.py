@@ -161,8 +161,17 @@ def _walk_slot(rootv, rooti, scores_slot, tmps_slot,
 
 
 def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
-                      k_per_level: int) -> argmax_ops.Candidates:
+                      k_per_level: int,
+                      pdfs_transform=None) -> argmax_ops.Candidates:
+    """pdfs_transform: optional fn(pdfs (L, fh, fw, F)) -> pdfs, applied
+    per bucket — the seam scale-axis sharding uses to constrain each
+    bucket's LEVEL axis onto the mesh (parallel/scale_sharded.py); the
+    cross-bucket slot reads below then reshard through XLA's SPMD
+    partitioner."""
     per_bucket = pyramid_pdfs(image, packed, plan)
+    if pdfs_transform is not None:
+        per_bucket = [(b, pdfs_transform(pdfs), ts, sc)
+                      for b, pdfs, ts, sc in per_bucket]
     smax = max((max(sc) for sc in packed.scale_static), default=0)
     all_cands: List[argmax_ops.Candidates] = []
 

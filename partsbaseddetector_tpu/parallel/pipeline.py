@@ -86,7 +86,7 @@ class PipelinedDetector:
 
     def __init__(self, model: PartsModel, front, back,
                  k_per_level: int = 64, compose: str = "reference",
-                 dp_split: int = 3, conv_engine: str = "spatial",
+                 dp_split: int = 5, conv_engine: str = "spatial",
                  depth_prune=None):
         if model.max_scale() > 0:
             raise ValueError(

@@ -103,9 +103,11 @@ class ScaleShardedDetector:
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
                  conv_engine: str = "spatial", depth_prune=None):
-        if model.max_scale() > 0:
-            raise ValueError("multi-resolution models: use the data-"
-                             "parallel BatchDetector (multires)")
+        # multi-resolution models route through the multires program
+        # with each bucket's level axis sharded; the cross-octave slot
+        # reads (a part's maps one bucket finer than its root) reshard
+        # through the SPMD partitioner
+        self.multires = model.max_scale() > 0
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
@@ -137,11 +139,29 @@ class ScaleShardedDetector:
         if key not in self._compiled:
             plan = make_plan(imshape, self.model.binsize,
                              self.model.interval)
-            fn = jax.jit(partial(_scale_program, plan=plan,
-                                 k_per_level=self.k_per_level,
-                                 compose=self.compose, mesh=self.mesh,
-                                 conv_engine=self.conv_engine,
-                                 **static))
+            if self.multires:
+                if variant:
+                    raise NotImplementedError(
+                        "depth pruning / masked search on multires "
+                        "models: single-chip MultiResDetector or "
+                        "BatchDetector")
+                from partsbaseddetector_tpu.infer.multires import \
+                    _multires_program
+
+                spec = NamedSharding(
+                    self.mesh, P("scale", None, None, None))
+                fn = jax.jit(partial(
+                    _multires_program, plan=plan,
+                    k_per_level=self.k_per_level,
+                    pdfs_transform=lambda pdfs:
+                        jax.lax.with_sharding_constraint(pdfs, spec)))
+            else:
+                fn = jax.jit(partial(_scale_program, plan=plan,
+                                     k_per_level=self.k_per_level,
+                                     compose=self.compose,
+                                     mesh=self.mesh,
+                                     conv_engine=self.conv_engine,
+                                     **static))
             self._compiled[key] = fn
         return self._compiled[key]
 

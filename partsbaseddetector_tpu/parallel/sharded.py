@@ -36,7 +36,7 @@ class BatchDetector:
 
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
-                 dt_impl: str = "auto", dp_split: int = 3,
+                 dt_impl: str = "auto", dp_split: int = 5,
                  conv_engine: str = "spatial", depth_prune=None):
         self.model = model
         self.mesh = mesh

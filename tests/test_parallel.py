@@ -257,18 +257,37 @@ def test_pipelined_depth_and_mask_match_single(model):
 
 
 def test_multires_explicit_errors():
-    """Paths that cannot serve multires models say so at construction
-    (README feature matrix: no silent holes)."""
+    """The pipeline path cannot serve multires models and says so at
+    construction (README feature matrix: no silent holes)."""
     from partsbaseddetector_tpu.parallel.pipeline import PipelinedDetector
-    from partsbaseddetector_tpu.parallel.scale_sharded import (
-        ScaleShardedDetector, make_scale_mesh)
 
     m = synthetic.tiny_multires(seed=5)
     devs = jax.devices()
     with pytest.raises(ValueError, match="multi-resolution"):
-        ScaleShardedDetector(m, make_scale_mesh((8, 1)))
-    with pytest.raises(ValueError, match="multi-resolution"):
         PipelinedDetector(m, front=devs[0], back=devs[1])
+
+
+def test_scale_sharded_multires_matches_single():
+    """Multi-resolution models run LEVEL-SHARDED: the cross-octave slot
+    reads (a part's maps one bucket finer than its root) reshard
+    through the SPMD partitioner; results match MultiResDetector."""
+    from partsbaseddetector_tpu.infer.multires import MultiResDetector
+    from partsbaseddetector_tpu.parallel.scale_sharded import (
+        ScaleShardedDetector, make_scale_mesh)
+
+    m = synthetic.tiny_multires(seed=5)
+    m.thresh = -1e9
+    sdet = ScaleShardedDetector(m, make_scale_mesh((8, 1)),
+                                k_per_level=8)
+    ref = MultiResDetector(m, k_per_level=8)
+    im = (np.random.default_rng(2).random((64, 64, 3)) * 255
+          ).astype(np.float32)
+    got = sdet.detect_raw(im)
+    want = ref.detect_raw(im)
+    _assert_cands_equal(got, want)
+    # depth/mask on multires stay explicit errors on this path
+    with pytest.raises(NotImplementedError):
+        sdet.detect_masked_raw(im, [])
 
 
 def test_batch_detector_fft_engine_matches(model):
