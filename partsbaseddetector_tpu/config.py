@@ -29,6 +29,9 @@ class RuntimeConfig:
                                    # (the reference's engine wiring,
                                    # src/PartsBasedDetector.cpp:108-118)
     dp_split: int = 5              # stage-3/4 level groups per bucket
+    walk_impl: str = "auto"        # backtracking walk: "auto" |
+                                   # "pallas" (fused kernel, TPU) |
+                                   # "xla" (PERF.md round-3 headline)
     max_overlap: float = 0.1       # paint-NMS overlap (ros/Node.cpp:196)
     remove_planes: bool = False    # plane removal before clustering
     max_candidates: Optional[int] = 32

@@ -158,6 +158,27 @@ class PartsBasedDetectorNode:
         self._sync_sinks()
         return self.stream.process(rgb, depth, cloud)
 
+    @classmethod
+    def from_params(cls, transport, params: dict,
+                    camera: Optional[CameraModel] = None
+                    ) -> "PartsBasedDetectorNode":
+        """Construct from a ROS-private-param-style dict — the
+        reference's init() flow (ros/Node.cpp:64-105: read ``model``,
+        load by extension, read ``remove_planes``, distributeModel).
+        Supported keys: model (path, required), remove_planes,
+        max_overlap, ns, name."""
+        from partsbaseddetector_tpu.models import load_any
+
+        if "model" not in params:
+            raise ValueError("param 'model' (model file path) required")
+        model = load_any(params["model"])
+        return cls(model, transport, camera=camera,
+                   ns=params.get("ns", "/pbd/"),
+                   name=params.get("name"),
+                   remove_planes=bool(params.get("remove_planes",
+                                                 False)),
+                   max_overlap=float(params.get("max_overlap", 0.1)))
+
     def make_synchronizer(self, queue_size: int = 50,
                           slop: Optional[float] = None
                           ) -> msgs.ApproximateTimeSynchronizer:

@@ -316,7 +316,8 @@ class Detector:
         SURVEY.md §5 'one typed config covering model + runtime')."""
         return cls(model, k_per_level=cfg.k_per_level,
                    compose=cfg.compose, dt_impl=cfg.dt_impl,
-                   dp_split=cfg.dp_split, conv_engine=cfg.conv_engine)
+                   dp_split=cfg.dp_split, conv_engine=cfg.conv_engine,
+                   walk_impl=getattr(cfg, "walk_impl", "auto"))
 
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
         return make_plan(imshape, self.model.binsize, self.model.interval)

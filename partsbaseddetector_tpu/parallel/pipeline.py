@@ -159,17 +159,27 @@ class PipelinedDetector:
             for m in part_masks)
         return fn2(s1_back, self.packed_back, part_masks=masks_back)
 
-    def stream(self, frames, depth_of_pipeline: int = 2):
+    def stream(self, frames, depth_of_pipeline: int = 2, depths=None):
         """Generator over Candidates, one per frame, with up to
         ``depth_of_pipeline`` frames in flight (front computes frame
         i+1 while back computes frame i — all enqueued asynchronously,
-        drained with a lag so the host never blocks the pipe)."""
+        drained with a lag so the host never blocks the pipe).
+
+        depths: optional per-frame metric depth maps (requires
+        depth_prune); pruning runs on the front group per frame."""
         pending = []
-        for f in frames:
+        for i, f in enumerate(frames):
             image = jnp.asarray(f)
-            fn1, fn2, _ = self._get_fns(image.shape[:2])
-            s1 = fn1(jax.device_put(image, self.front),
-                     self.packed_front)
+            if depths is not None and self.depth_prune is not None:
+                fn1, fn2, _ = self._get_fns(image.shape[:2], "depth")
+                s1 = fn1(jax.device_put(image, self.front),
+                         self.packed_front,
+                         depth=jax.device_put(jnp.asarray(depths[i]),
+                                              self.front))
+            else:
+                fn1, fn2, _ = self._get_fns(image.shape[:2])
+                s1 = fn1(jax.device_put(image, self.front),
+                         self.packed_front)
             s1_back = jax.device_put(s1, self.back)
             out = fn2(s1_back, self.packed_back)
             pending.append(out)

@@ -426,3 +426,23 @@ def test_node_synchronizer_end_to_end(model):
     sync.flush()
     assert len(over.published) == 1
     assert over.published[0].header.frame_id == "kinect"
+
+
+def test_node_from_params(tmp_path, model):
+    """Param-driven construction like the reference init()
+    (ros/Node.cpp:64-105): model path loaded by extension."""
+    from partsbaseddetector_tpu.frontends import PartsBasedDetectorNode
+    from partsbaseddetector_tpu.models import save_filestorage
+
+    path = str(tmp_path / "m.xml")
+    save_filestorage(path, model)
+    node = PartsBasedDetectorNode.from_params(
+        FakeTransport(), {"model": path, "remove_planes": True,
+                          "max_overlap": 0.25, "name": "fromparams"})
+    assert node.name == "fromparams"
+    assert node.stream.remove_planes is True
+    assert node.stream.max_overlap == 0.25
+
+    import pytest
+    with pytest.raises(ValueError, match="model"):
+        PartsBasedDetectorNode.from_params(FakeTransport(), {})

@@ -251,6 +251,10 @@ def test_pipelined_depth_and_mask_match_single(model):
                              depth_prune=DEPTH_CFG)
     _assert_cands_equal(pdet.detect_raw(im, depth=depth),
                         det.detect_raw(im, depth=depth))
+    # streaming form with per-frame depths
+    outs = list(pdet.stream([im, im], depths=[depth, depth]))
+    for o in outs:
+        _assert_cands_equal(o, det.detect_raw(im, depth=depth))
     masks = _masks_fixture(model, det, im)
     _assert_cands_equal(pdet.detect_masked_raw(im, masks),
                         det.detect_masked_raw(im, masks))

@@ -22,7 +22,7 @@ def main():
 
     enable_compilation_cache()
     batch = 0
-    dp_split = 3
+    dp_split = 5
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
