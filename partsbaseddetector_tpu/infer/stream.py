@@ -80,8 +80,15 @@ class StreamingDetector:
                  k_per_level: int = 64,
                  max_candidates: Optional[int] = 32,
                  max_retries: int = 1,
-                 retry_backoff_s: float = 0.5):
-        self.detector = Detector(model, k_per_level=k_per_level)
+                 retry_backoff_s: float = 0.5,
+                 depth_prune=None):
+        """depth_prune: optional infer.detector.DepthPrune — when set,
+        per-frame depth maps prune stage-2 responses BEFORE the DP (the
+        reference's detect(rgb, depth, candidates) semantics,
+        include/PartsBasedDetector.hpp:172-174), in addition to their
+        role in 3-D post-processing."""
+        self.detector = Detector(model, k_per_level=k_per_level,
+                                 depth_prune=depth_prune)
         self.model = model
         self.camera = camera
         self.max_overlap = float(max_overlap)
@@ -161,10 +168,13 @@ class StreamingDetector:
         """Run one frame.  rgb: (H, W, 3); depth: (h, w) meters; cloud:
         (H, W, 3) organized or (N, 3) unorganized camera-frame points.
         Single frames go through the same fetch/retry seam as batches,
-        so the ecto/ORK path gets the identical recovery story."""
+        so the ecto/ORK path gets the identical recovery story.  With a
+        ``depth_prune`` config, the depth map also prunes detection
+        responses (not just the 3-D post stage)."""
         cands = self._fetch_or_retry(
-            self.detector.detect_raw(rgb), [rgb],
-            redispatch=lambda: self.detector.detect_raw(rgb))
+            self.detector.detect_raw(rgb, depth=depth), [rgb],
+            redispatch=lambda: self.detector.detect_raw(rgb,
+                                                        depth=depth))
         return self._postprocess(cands, rgb, depth, cloud)
 
     def process_batch(self, rgbs, depths=None,
@@ -177,8 +187,13 @@ class StreamingDetector:
         import jax
 
         rgbs = np.asarray(rgbs)
+        d = None
+        if depths is not None and self.detector.depth_prune is not None:
+            d = np.asarray(depths)
         cands_b = self._fetch_or_retry(
-            self.detector.detect_batch_raw(rgbs), rgbs)
+            self.detector.detect_batch_raw(rgbs, depths=d), rgbs,
+            redispatch=lambda: self.detector.detect_batch_raw(
+                rgbs, depths=d))
         out = []
         for i in range(rgbs.shape[0]):
             cands = jax.tree.map(lambda x: x[i], cands_b)
@@ -201,19 +216,26 @@ class StreamingDetector:
         frames = list(frames)
         if not frames:
             return
+        prune = (depths is not None
+                 and self.detector.depth_prune is not None)
         groups = [frames[i:i + batch]
                   for i in range(0, len(frames), batch)]
         pending = None          # (rgbs, n_real, offset, device result)
         offset = 0
         for g in groups:
             n_real = len(g)
+            dg = list(depths[offset:offset + n_real]) if prune else None
             while len(g) < batch and len(frames) > 1:
                 g = g + [g[-1]]
+                if prune:
+                    dg = dg + [dg[-1]]
             rgbs = np.asarray(g)
-            cands_b = self.detector.detect_batch_raw(rgbs)   # async
+            db = np.asarray(dg) if prune else None
+            cands_b = self.detector.detect_batch_raw(rgbs,
+                                                     depths=db)  # async
             if pending is not None:
                 yield from self._drain(pending, depths, clouds)
-            pending = (rgbs, n_real, offset, cands_b)
+            pending = (rgbs, db, n_real, offset, cands_b)
             offset += n_real
         if pending is not None:
             yield from self._drain(pending, depths, clouds)
@@ -221,8 +243,11 @@ class StreamingDetector:
     def _drain(self, pending, depths, clouds):
         import jax
 
-        rgbs, n_real, offset, cands_b = pending
-        cands_b = self._fetch_or_retry(cands_b, rgbs)
+        rgbs, db, n_real, offset, cands_b = pending
+        cands_b = self._fetch_or_retry(
+            cands_b, rgbs,
+            redispatch=lambda: self.detector.detect_batch_raw(
+                rgbs, depths=db))
         for i in range(n_real):
             cands = jax.tree.map(lambda x: x[i], cands_b)
             j = offset + i

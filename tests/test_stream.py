@@ -160,3 +160,30 @@ def test_stream_failure_recovery():
     with pytest.raises(RuntimeError, match="injected device failure"):
         sd.process_batch(np.stack(frames))
     assert len(errors) == sd.max_retries + 1
+
+
+def test_stream_depth_pruning_wired():
+    """With a depth_prune config, the depth map prunes DETECTION
+    responses through every streaming entry point (the reference's
+    detect(rgb, depth, candidates) semantics), not just the 3-D post
+    stage."""
+    from partsbaseddetector_tpu.infer.detector import DepthPrune
+
+    model = synthetic.tiny(seed=7)
+    model.thresh = -1e9
+    cfg = DepthPrune(part_width_m=0.2, fx=400.0, tol=0.3)
+    sd = StreamingDetector(model, max_candidates=8, depth_prune=cfg)
+    rng = np.random.default_rng(3)
+    rgb = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    far = np.full((64, 64), 500.0, np.float32)   # prunes everything
+
+    assert sd.process(rgb).detections           # no depth: detections
+    assert sd.process(rgb, far).detections == []
+
+    frames = [rgb, rgb]
+    depths = [np.zeros((64, 64), np.float32), far]
+    outs = sd.process_batch(np.stack(frames), depths=np.stack(depths))
+    assert outs[0].detections and outs[1].detections == []
+
+    streamed = list(sd.stream(frames, batch=2, depths=depths))
+    assert streamed[0].detections and streamed[1].detections == []
