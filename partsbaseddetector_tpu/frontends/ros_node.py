@@ -158,6 +158,17 @@ class PartsBasedDetectorNode:
         self._sync_sinks()
         return self.stream.process(rgb, depth, cloud)
 
+    def depth_camera_callback(self, info) -> None:
+        """Camera-info subscriber: initialize the camera model from the
+        intrinsics message — the reference's depthCameraCallback
+        (ros/Node.cpp:137-142; detectorCallback requires it before the
+        3-D path runs).  ``info``: a (3, 3) K matrix, or any object
+        with a ``.K`` attribute (sensor_msgs/CameraInfo exposes the
+        row-major 3x3 as .K)."""
+        K = np.asarray(getattr(info, "K", info), float).reshape(3, 3)
+        self.stream.camera = CameraModel(fx=K[0, 0], fy=K[1, 1],
+                                         cx=K[0, 2], cy=K[1, 2])
+
     @classmethod
     def from_params(cls, transport, params: dict,
                     camera: Optional[CameraModel] = None

@@ -446,3 +446,34 @@ def test_node_from_params(tmp_path, model):
     import pytest
     with pytest.raises(ValueError, match="model"):
         PartsBasedDetectorNode.from_params(FakeTransport(), {})
+
+
+def test_node_depth_camera_callback(model):
+    """Camera intrinsics arrive via the info subscriber
+    (ros/Node.cpp:137-142) and enable the 3-D path."""
+    from partsbaseddetector_tpu.frontends import PartsBasedDetectorNode
+
+    transport = FakeTransport()
+    node = PartsBasedDetectorNode(model, transport)   # no camera yet
+    assert node.stream.camera is None
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    node.depth_camera_callback(K)
+    cam = node.stream.camera
+    assert (cam.fx, cam.fy, cam.cx, cam.cy) == (100.0, 100.0, 32.0,
+                                                32.0)
+
+    rng = np.random.default_rng(0)
+    rgb = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    depth = np.full((64, 64), 1.5, np.float32)
+    for p in transport.pubs.values():
+        p.subscribers = 1
+    res = node.depth_image_callback(rgb, depth,
+                                    rng.random((200, 3)) * 2)
+    assert res.boxes3d is not None      # 3-D path active post-callback
+
+    kflat = tuple(K.ravel())
+
+    class InfoMsg:
+        K = kflat
+    node.depth_camera_callback(InfoMsg())
+    assert node.stream.camera.fx == 100.0
