@@ -28,7 +28,9 @@ class RuntimeConfig:
     conv_engine: str = "spatial"   # "spatial" | "fft" stage-2 engine
                                    # (the reference's engine wiring,
                                    # src/PartsBasedDetector.cpp:108-118)
-    dp_split: int = 5              # stage-3/4 level groups per bucket
+    dp_split: Optional[int] = None  # stage-3/4 level groups per bucket
+                                   # (None = interval-scaled optimum,
+                                   # PERF.md retune sweep)
     walk_impl: str = "auto"        # backtracking walk: "auto" |
                                    # "pallas" (fused kernel, TPU) |
                                    # "xla" (PERF.md round-3 headline)

@@ -8,6 +8,7 @@ any object with the small duck-typed surface they need (a publisher
 factory / tendrils dicts), which is also how they are tested.
 """
 
+from partsbaseddetector_tpu.frontends import messages  # noqa: F401
 from partsbaseddetector_tpu.frontends.ros_node import (  # noqa: F401
     PartsBasedDetectorNode, ros_available)
 from partsbaseddetector_tpu.frontends.ecto_cell import (  # noqa: F401

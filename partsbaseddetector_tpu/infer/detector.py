@@ -32,14 +32,14 @@ from partsbaseddetector_tpu.ops import argmax as argmax_ops
 from partsbaseddetector_tpu.ops.common import NEG
 from partsbaseddetector_tpu.ops.conv import conv_bank, conv_bank_fft
 from partsbaseddetector_tpu.ops.dp import dp_min_levels
+from partsbaseddetector_tpu.ops.hog import hog_features
+from partsbaseddetector_tpu.ops.imageops import pyr_down, resize_linear
 
 #: selectable stage-2 convolution engines — the facade-level engine
 #: choice the reference makes when wiring the model
 #: (src/PartsBasedDetector.cpp:108-118: Spatial only; the Fourier
 #: engine was dead code, realized working in ops/conv.conv_bank_fft)
 CONV_ENGINES = {"spatial": conv_bank, "fft": conv_bank_fft}
-from partsbaseddetector_tpu.ops.hog import hog_features
-from partsbaseddetector_tpu.ops.imageops import pyr_down, resize_linear
 
 
 @dataclasses.dataclass
@@ -269,7 +269,7 @@ class Detector:
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
                  compose: str = "reference", dt_impl: str = "auto",
-                 dp_split: int = 5,
+                 dp_split: Optional[int] = None,
                  depth_prune: Optional[DepthPrune] = None,
                  conv_engine: str = "spatial",
                  walk_impl: str = "auto"):
@@ -290,6 +290,12 @@ class Detector:
             # after the measurement
             dt_impl = "xla"
         self.dt_impl = dt_impl
+        if dp_split is None:
+            # measured optimum scales with levels per octave: person-26
+            # (interval 10) peaks at dp_split 5, face-68 (interval 5)
+            # at 3 — more groups than ~interval/2 over-fragment the
+            # scans (PERF.md §retune sweep)
+            dp_split = max(1, (model.interval + 1) // 2)
         self.dp_split = int(dp_split)
         self.depth_prune = depth_prune
         if conv_engine not in CONV_ENGINES:

@@ -86,7 +86,7 @@ class PipelinedDetector:
 
     def __init__(self, model: PartsModel, front, back,
                  k_per_level: int = 64, compose: str = "reference",
-                 dp_split: int = 5, conv_engine: str = "spatial",
+                 dp_split=None, conv_engine: str = "spatial",
                  depth_prune=None):
         if model.max_scale() > 0:
             raise ValueError(
@@ -98,6 +98,8 @@ class PipelinedDetector:
         self.back = back
         self.k_per_level = int(k_per_level)
         self.compose = compose
+        if dp_split is None:     # interval-scaled optimum (PERF.md)
+            dp_split = max(1, (model.interval + 1) // 2)
         self.dp_split = int(dp_split)
         self.conv_engine = conv_engine
         self.depth_prune = depth_prune      # infer.detector.DepthPrune

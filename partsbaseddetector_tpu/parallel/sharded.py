@@ -36,13 +36,15 @@ class BatchDetector:
 
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
-                 dt_impl: str = "auto", dp_split: int = 5,
+                 dt_impl: str = "auto", dp_split=None,
                  conv_engine: str = "spatial", depth_prune=None):
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
         self.compose = compose
         self.dt_impl = "xla" if dt_impl == "auto" else dt_impl
+        if dp_split is None:     # interval-scaled optimum (PERF.md)
+            dp_split = max(1, (model.interval + 1) // 2)
         self.dp_split = int(dp_split)
         self.conv_engine = conv_engine
         self.depth_prune = depth_prune      # infer.detector.DepthPrune
