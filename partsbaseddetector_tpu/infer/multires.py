@@ -162,13 +162,25 @@ def _walk_slot(rootv, rooti, scores_slot, tmps_slot,
 
 def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
                       k_per_level: int,
-                      pdfs_transform=None) -> argmax_ops.Candidates:
+                      pdfs_transform=None,
+                      depth=None, depth_cfg=None
+                      ) -> argmax_ops.Candidates:
     """pdfs_transform: optional fn(pdfs (L, fh, fw, F)) -> pdfs, applied
     per bucket — the seam scale-axis sharding uses to constrain each
     bucket's LEVEL axis onto the mesh (parallel/scale_sharded.py); the
     cross-bucket slot reads below then reshard through XLA's SPMD
-    partitioner."""
+    partitioner.
+
+    depth + depth_cfg: optional (H, W) metric depth map and DepthPrune
+    config — per-bucket response pruning before the DP, identical to
+    the single-resolution path (infer/detector._detect_program)."""
+    from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
+
     per_bucket = pyramid_pdfs(image, packed, plan)
+    if depth is not None and depth_cfg is not None:
+        per_bucket = [(b, jnp.where(
+            _depth_bad_mask(depth, b, depth_cfg)[:, :, :, None],
+            NEG, pdfs), ts, sc) for b, pdfs, ts, sc in per_bucket]
     if pdfs_transform is not None:
         per_bucket = [(b, pdfs_transform(pdfs), ts, sc)
                       for b, pdfs, ts, sc in per_bucket]
@@ -216,26 +228,38 @@ class MultiResDetector:
     >>> detections = det.detect(image)
     """
 
-    def __init__(self, model: PartsModel, k_per_level: int = 64):
+    def __init__(self, model: PartsModel, k_per_level: int = 64,
+                 depth_prune=None):
         self.model = model
         self.packed = pack_model(model)
         self.k_per_level = int(k_per_level)
-        self._compiled: Dict[Tuple[int, int], object] = {}
+        self.depth_prune = depth_prune   # infer.detector.DepthPrune
+        self._compiled: Dict[Tuple, object] = {}
 
-    def detect_raw(self, image) -> argmax_ops.Candidates:
+    def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
+        """depth: optional (H, W) metric depth map — with a
+        ``depth_prune`` config, responses at implausible depths are
+        masked before the DP (same semantics as Detector.detect_raw)."""
         image = jnp.asarray(image)
-        key = tuple(image.shape[:2])
+        use_depth = depth is not None and self.depth_prune is not None
+        key = (("depth",) if use_depth else ()) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = make_plan(image.shape[:2], self.model.binsize,
                              self.model.interval)
-            fn = jax.jit(partial(_multires_program, plan=plan,
-                                 k_per_level=self.k_per_level))
+            kw = dict(plan=plan, k_per_level=self.k_per_level)
+            if use_depth:
+                kw["depth_cfg"] = self.depth_prune
+            fn = jax.jit(partial(_multires_program, **kw))
             self._compiled[key] = fn
+        if use_depth:
+            return self._compiled[key](image, self.packed,
+                                       depth=jnp.asarray(depth))
         return self._compiled[key](image, self.packed)
 
-    def detect(self, image, max_detections=None) -> List[Detection]:
+    def detect(self, image, depth=None,
+               max_detections=None) -> List[Detection]:
         return Detector.candidates_to_detections(
-            self.detect_raw(image), max_detections)
+            self.detect_raw(image, depth=depth), max_detections)
 
     # same facade surface as Detector (demo CLI, streaming pipeline)
     candidates_to_detections = staticmethod(

@@ -140,11 +140,10 @@ class ScaleShardedDetector:
             plan = make_plan(imshape, self.model.binsize,
                              self.model.interval)
             if self.multires:
-                if variant:
+                if variant == "masked":
                     raise NotImplementedError(
-                        "depth pruning / masked search on multires "
-                        "models: single-chip MultiResDetector or "
-                        "BatchDetector")
+                        "masked latent search on multires models: the "
+                        "multires DP has no mask path")
                 from partsbaseddetector_tpu.infer.multires import \
                     _multires_program
 
@@ -154,7 +153,8 @@ class ScaleShardedDetector:
                     _multires_program, plan=plan,
                     k_per_level=self.k_per_level,
                     pdfs_transform=lambda pdfs:
-                        jax.lax.with_sharding_constraint(pdfs, spec)))
+                        jax.lax.with_sharding_constraint(pdfs, spec),
+                    **static))
             else:
                 fn = jax.jit(partial(_scale_program, plan=plan,
                                      k_per_level=self.k_per_level,

@@ -82,17 +82,25 @@ class BatchDetector:
                              self.model.interval)
 
             if self.multires:
-                if variant:
+                if variant == "masked":
                     raise NotImplementedError(
-                        "depth pruning / masked search on multires "
-                        "models: use infer.multires.MultiResDetector "
-                        "semantics on the single-chip path")
+                        "masked latent search on multires models: the "
+                        "multires DP has no mask path (train on "
+                        "single-resolution models, the Matlab trainer's "
+                        "setting)")
+                from functools import partial as _partial
+
                 from partsbaseddetector_tpu.infer.multires import \
                     _multires_program
 
-                def single(im, packed):
-                    return _multires_program(
-                        im, packed, plan, self.k_per_level)
+                single = _partial(_multires_program, plan=plan,
+                                  k_per_level=self.k_per_level)
+                if variant == "depth":
+                    if self.depth_prune is None:
+                        raise ValueError("construct BatchDetector with "
+                                         "depth_prune=DepthPrune(...)")
+                    single = _partial(single,
+                                      depth_cfg=self.depth_prune)
             else:
                 from functools import partial as _partial
                 base = _partial(

@@ -80,3 +80,50 @@ def test_no_depth_no_config_paths_agree(setup):
     model, im, det = setup
     plain = Detector(model, k_per_level=8)
     assert _keys(det.detect(im)) == _keys(plain.detect(im))
+
+
+def test_multires_depth_prune_all_paths():
+    """Depth pruning works for multi-resolution models on the single-
+    chip, batch-sharded and scale-sharded paths (capability-matrix
+    uniformity); masked search on multires stays an explicit error."""
+    import jax
+
+    from partsbaseddetector_tpu.infer.multires import MultiResDetector
+    from partsbaseddetector_tpu.parallel.mesh import make_mesh
+    from partsbaseddetector_tpu.parallel.scale_sharded import (
+        ScaleShardedDetector, make_scale_mesh)
+    from partsbaseddetector_tpu.parallel.sharded import BatchDetector
+
+    model = synthetic.tiny_multires(seed=5)
+    model.thresh = -1e5
+    rng = np.random.default_rng(4)
+    im = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    far = np.full((64, 64), 500.0, np.float32)
+    zero = np.zeros((64, 64), np.float32)
+
+    det = MultiResDetector(model, k_per_level=8, depth_prune=CFG)
+    base = det.detect_raw(im)
+    assert np.asarray(base.valid).any()
+    # zero depth = unknown: identical; far depth: everything pruned
+    same = det.detect_raw(im, depth=zero)
+    np.testing.assert_array_equal(np.asarray(same.valid),
+                                  np.asarray(base.valid))
+    assert not np.asarray(det.detect_raw(im, depth=far).valid).any()
+
+    bdet = BatchDetector(model, make_mesh((4, 2)), k_per_level=8,
+                         depth_prune=CFG)
+    cands = bdet.detect_batch(np.stack([im] * 4),
+                              depths=np.stack([zero, far, zero, far]))
+    np.testing.assert_array_equal(np.asarray(cands.valid[0]),
+                                  np.asarray(base.valid))
+    assert not np.asarray(cands.valid[1]).any()
+    import pytest
+    with pytest.raises(NotImplementedError, match="masked"):
+        bdet.detect_masked_batch(np.stack([im] * 4), ())
+
+    sdet = ScaleShardedDetector(model, make_scale_mesh((8, 1)),
+                                k_per_level=8, depth_prune=CFG)
+    sc = sdet.detect_raw(im, depth=zero)
+    np.testing.assert_array_equal(np.asarray(sc.valid),
+                                  np.asarray(base.valid))
+    assert not np.asarray(sdet.detect_raw(im, depth=far).valid).any()
