@@ -32,6 +32,16 @@ def main(argv=None) -> int:
     ap.add_argument("--C", type=float, default=0.002)
     ap.add_argument("--cache", default=None)
     ap.add_argument("--negatives", default=None)
+    ap.add_argument("--mirror", default=None,
+                    help="comma-separated part permutation under "
+                         "left/right mirroring (same index base as "
+                         "--parents); enables flip augmentation "
+                         "(train.m:130,165).  'identity' for symmetric "
+                         "parts")
+    ap.add_argument("--overlap", type=float, default=0.6,
+                    help="latent-search min box overlap (train.m:41); "
+                         "lower it when part boxes are small relative "
+                         "to the feature-grid stride")
     ap.add_argument("--name", default="trained")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
@@ -64,11 +74,20 @@ def main(argv=None) -> int:
                [np.random.default_rng(0).random(
                    pos_images[0].shape[:2]) * 40 for _ in range(8)])
 
+    mirror = None
+    if args.mirror == "identity":
+        mirror = list(range(len(parents)))
+    elif args.mirror:
+        mirror = [int(x) for x in args.mirror.split(",")]
+        if not args.zero_based:
+            mirror = [m - 1 for m in mirror]
+
     cfg = TrainConfig(nmix=args.nmix, binsize=args.binsize,
                       interval=args.interval, latent_iters=args.iters,
-                      C=args.C)
+                      C=args.C, overlap=args.overlap)
     model = train_parts_model(args.name, pos_images, pos_points, neg,
-                              parents, cfg, cache_dir=args.cache)
+                              parents, cfg, cache_dir=args.cache,
+                              mirror_map=mirror)
 
     if args.out.endswith(".npz"):
         npzio.save_npz(args.out, model)
