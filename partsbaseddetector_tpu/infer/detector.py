@@ -356,7 +356,12 @@ class Detector:
         signature, include/PartsBasedDetector.hpp:172-174, with the
         commented-out pruning call realized)."""
         image = jnp.asarray(image)
-        if depth is None or self.depth_prune is None:
+        if depth is not None and self.depth_prune is None:
+            raise ValueError(
+                "depth map passed but this Detector has no depth_prune "
+                "config; construct Detector(..., depth_prune="
+                "DepthPrune(...)) (matches BatchDetector behavior)")
+        if depth is None:
             fn, _ = self._get_fn(image.shape[:2])
             return fn(image, self.packed)
         key = ("depth",) + tuple(image.shape[:2])
@@ -383,7 +388,12 @@ class Detector:
         if images.ndim != 4:
             raise ValueError("detect_batch_raw expects (B, H, W, 3) "
                              f"images, got shape {images.shape}")
-        use_depth = depths is not None and self.depth_prune is not None
+        if depths is not None and self.depth_prune is None:
+            raise ValueError(
+                "depth maps passed but this Detector has no depth_prune "
+                "config; construct Detector(..., depth_prune="
+                "DepthPrune(...))")
+        use_depth = depths is not None
         key = (("batch", "depth") if use_depth else ("batch",)) \
             + (images.shape[0],) + tuple(images.shape[1:3])
         if key not in self._compiled:
@@ -417,11 +427,13 @@ class Detector:
         return fn(image, self.packed,
                   part_masks=tuple(jnp.asarray(m) for m in part_masks))
 
-    def detect(self, image, depth=None,
+    def detect(self, image, *, depth=None,
                max_detections: Optional[int] = None) -> List[Detection]:
         """Detect and return host-side Detections above the model
         threshold, sorted by score descending.  depth: optional (H, W)
-        metric depth map (see detect_raw)."""
+        metric depth map (see detect_raw).  Trailing params are
+        keyword-only so a legacy positional ``detect(im, 5)`` cannot
+        silently pass 5 as a depth map."""
         return self.candidates_to_detections(
             self.detect_raw(image, depth=depth), max_detections)
 

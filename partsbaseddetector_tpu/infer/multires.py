@@ -232,6 +232,17 @@ class MultiResDetector:
                  depth_prune=None):
         self.model = model
         self.packed = pack_model(model)
+        if any(c.aliased for c in self.packed.components):
+            # the multires DP keys accumulation by (part, level); the
+            # reference's filter-id buffer aliasing (ncscores,
+            # include/Parts.hpp:165-168) is implemented on the
+            # single-resolution paths (ops/dp._dp_min_aliased) but the
+            # combination with cross-octave slots has no reference
+            # semantics to match (the C++ port dropped multires, the
+            # Matlab path never shares filters within a component)
+            raise NotImplementedError(
+                "multi-resolution models with shared filter ids within "
+                "a component are not supported")
         self.k_per_level = int(k_per_level)
         self.depth_prune = depth_prune   # infer.detector.DepthPrune
         self._compiled: Dict[Tuple, object] = {}
@@ -256,8 +267,10 @@ class MultiResDetector:
                                        depth=jnp.asarray(depth))
         return self._compiled[key](image, self.packed)
 
-    def detect(self, image, depth=None,
+    def detect(self, image, *, depth=None,
                max_detections=None) -> List[Detection]:
+        # keyword-only: a legacy positional detect(im, 5) must raise,
+        # not silently pass 5 as a depth map
         return Detector.candidates_to_detections(
             self.detect_raw(image, depth=depth), max_detections)
 

@@ -170,11 +170,13 @@ class StreamingDetector:
         Single frames go through the same fetch/retry seam as batches,
         so the ecto/ORK path gets the identical recovery story.  With a
         ``depth_prune`` config, the depth map also prunes detection
-        responses (not just the 3-D post stage)."""
+        responses (not just the 3-D post stage); without one the depth
+        feeds only the 3-D post stage (the detector rejects unsolicited
+        depth maps)."""
+        d = depth if self.detector.depth_prune is not None else None
         cands = self._fetch_or_retry(
-            self.detector.detect_raw(rgb, depth=depth), [rgb],
-            redispatch=lambda: self.detector.detect_raw(rgb,
-                                                        depth=depth))
+            self.detector.detect_raw(rgb, depth=d), [rgb],
+            redispatch=lambda: self.detector.detect_raw(rgb, depth=d))
         return self._postprocess(cands, rgb, depth, cloud)
 
     def process_batch(self, rgbs, depths=None,

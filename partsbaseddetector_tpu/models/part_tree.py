@@ -56,6 +56,16 @@ class PackedComponent:
     mix_valid: jnp.ndarray    # (P, M) bool
     root_bias: jnp.ndarray    # () f32
     fsize: jnp.ndarray        # (P, M) int32
+    # True when some filter id is referenced by more than one
+    # (part, mixture) slot of THIS component.  The reference keys its
+    # accumulated DP scores by filter id (ncscores,
+    # include/Parts.hpp:165-168 via src/DynamicProgram.cpp:115-155), so
+    # shared filters alias their accumulation buffers; the packed DP
+    # reproduces that with a filter-keyed scan carry (ops/dp.py) only
+    # when needed — the common non-aliased case keeps the cheaper
+    # part-keyed carry (provably identical there).
+    aliased: bool = dataclasses.field(
+        default=False, metadata={"static": True})
 
     @property
     def nparts(self) -> int:
@@ -132,15 +142,18 @@ def pack_model(model: PartsModel, dtype=jnp.float32) -> PackedModel:
                     for mp in range(pn):
                         bias[p, mc, mp] = model.biasw[off + mp]
         # shared-filter aliasing (reference ncscores keyed by filter id,
-        # include/Parts.hpp:165-168) is not supported in the packed DP,
-        # which keys accumulated scores by part
+        # include/Parts.hpp:165-168): duplicated filter ids within one
+        # component switch the DP to the filter-keyed accumulator scan
+        # that reproduces the reference's buffer aliasing exactly.
+        # Sharing across components (the common converted-model pattern,
+        # e.g. mirrored components) never aliases — ncscores is
+        # per-(scale, component) in the reference (src/DynamicProgram.
+        # cpp:93) — so it does not set the flag.
         fids = [part.filterid[m] for part in comp.parts
                 for m in range(part.nmixtures)]
-        if len(set(fids)) != len(fids):
-            raise NotImplementedError(
-                f"component {c}: duplicated filter ids across part "
-                "mixtures (score aliasing) not supported")
+        aliased = len(set(fids)) != len(fids)
         comps.append(PackedComponent(
+            aliased=aliased,
             filterid=jnp.asarray(filterid),
             defw=jnp.asarray(defw),
             anchor=jnp.asarray(anchor),

@@ -79,6 +79,10 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     P, M = comp.filterid.shape
     H, W = pdfs.shape[:2]
     assert H < 4096 and W < 4096 and M < 128, (H, W, M)
+    if comp.aliased:
+        # shared filter ids within the component: the accumulation
+        # buffers alias by filter id, exactly as in the reference
+        return _dp_min_aliased(pdfs, comp, compose, part_mask)
     pdfs_f = jnp.moveaxis(pdfs, -1, 0)                 # (F, H, W)
     scores0 = pdfs_f[comp.filterid]                    # (P, M, H, W)
     # invalid mixture slots must never win any max
@@ -119,6 +123,74 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     # (reference: src/DynamicProgram.cpp:162-171)
     rootw = scores[0] + comp.root_bias                 # (M, H, W)
     rootw = jnp.where(comp.mix_valid[0][:, None, None], rootw, NEG)
+    rooti = jnp.argmax(rootw, axis=0).astype(jnp.int32)
+    rootv = jnp.max(rootw, axis=0)
+    return DPResult(rootv, rooti, scores, tmp)
+
+
+def _dp_min_aliased(pdfs: jnp.ndarray, comp: PackedComponent,
+                    compose: str, part_mask=None) -> DPResult:
+    """DP variant for components with shared filter ids.
+
+    The reference's scratch score vector is keyed BY FILTER ID
+    (``ncscores``, sized like the response vector — src/DynamicProgram.
+    cpp:93 with the reads/writes at :115-118 and :152-155 going through
+    ``ComponentPart::score`` = scores[filterid[p][m]],
+    include/Parts.hpp:165-168).  When several (part, mixture) slots of
+    one component share a filter id, their accumulation buffers ALIAS:
+    messages written for one slot are visible to every later read of any
+    slot with the same id, in part-visit order.  This scan reproduces
+    that exactly by carrying a per-filter accumulator ``acc`` (F, H, W)
+    — read(p, m) = pdf[fid[p][m]] + acc[fid[p][m]] at visit time, write
+    acc[fid[parent][mp]] += maxv[mp] — and emitting each part's
+    VISIT-TIME score (the DT input) so backtracking recomputes argmaxes
+    against the same values the forward pass used.  For components
+    where every filter id is unique this is semantically identical to
+    the part-keyed scan in :func:`dp_min` (the default, which carries
+    one fewer (P, M, H, W) tensor through the scan)."""
+    P, M = comp.filterid.shape
+    H, W = pdfs.shape[:2]
+    pdfs_f = jnp.moveaxis(pdfs, -1, 0)                 # (F, H, W)
+    F = pdfs_f.shape[0]
+
+    def read(p, acc):
+        fid = comp.filterid[p]                         # (M,)
+        s = pdfs_f[fid] + acc[fid]                     # (M, H, W)
+        s = jnp.where(comp.mix_valid[p][:, None, None], s, NEG)
+        if part_mask is not None:
+            s = jnp.where(part_mask[p][None, :, :], s, NEG)
+        return s
+
+    def step(acc, p):
+        s = read(p, acc)
+        w = comp.defw[p]                               # (M, 4)
+        anc = comp.anchor[p]                           # (M, 2)
+        tmp = jax.vmap(lambda sm, wm, am: dt_max_x(
+            sm, wm[0], wm[1], am[0]))(s, w, anc)       # (M, H, W)
+        sdt = jax.vmap(lambda tm, wm, am: dt_max_y(
+            tm, wm[2], wm[3], am[1]))(tmp, w, anc)     # (M, H, W)
+        weighted = sdt[None, :, :, :] + \
+            comp.bias[p].T[:, :, None, None]           # (Mp, Mc, H, W)
+        maxv = jnp.max(weighted, axis=1)               # (Mp, H, W)
+        par = comp.parent[p]
+        # padded parent-mixture slots repeat mixture 0's filter id, so
+        # their (garbage) maxv must not pollute the real buffer: zero it
+        maxv = jnp.where(comp.mix_valid[par][:, None, None], maxv, 0.0)
+        acc = acc.at[comp.filterid[par]].add(maxv)
+        return acc, (s, tmp)
+
+    acc0 = jnp.zeros((F, H, W), pdfs.dtype)
+    parts_rev = jnp.arange(P - 1, 0, -1)
+    acc, (s_vis, tmps) = jax.lax.scan(step, acc0, parts_rev)
+
+    s_vis = jnp.flip(s_vis, axis=0)
+    tmps = jnp.flip(tmps, axis=0)
+    root_s = read(0, acc)                              # (M, H, W)
+    scores = jnp.concatenate([root_s[None], s_vis], axis=0)
+    tmp = jnp.concatenate(
+        [jnp.zeros((1,) + tmps.shape[1:], tmps.dtype), tmps], axis=0)
+
+    rootw = root_s + comp.root_bias                    # (M, H, W)
     rooti = jnp.argmax(rootw, axis=0).astype(jnp.int32)
     rootv = jnp.max(rootw, axis=0)
     return DPResult(rootv, rooti, scores, tmp)

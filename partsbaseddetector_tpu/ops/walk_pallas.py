@@ -116,12 +116,20 @@ def _walk_kernel(parent_ref,                    # SMEM (P,)
     mc = _argmax_first(sdt_at + bsel, 0)             # (K,)
 
     oh_mc = _onehot(mc, M)                           # (K, M)
-    w2x = oh_mc @ defw[:, 0]                         # (K,) exact: one hot
-    w3x = oh_mc @ defw[:, 1]
-    w2y = oh_mc @ defw[:, 2]
-    w3y = oh_mc @ defw[:, 3]
-    ancx = oh_mc @ anc[:, 0]
-    ancy = oh_mc @ anc[:, 1]
+
+    def _sel(vec):
+        # (M,) -> (K,): one-hot masked VPU sum.  NOT a matmul: a plain
+        # `@` here would run at default MXU precision, rounding the f32
+        # deformation weights to bf16 on real TPU (the documented
+        # parity-breaking behavior) — the mask-multiply-sum is exact.
+        return jnp.sum(oh_mc * vec[None, :], axis=1)
+
+    w2x = _sel(defw[:, 0])                           # (K,)
+    w3x = _sel(defw[:, 1])
+    w2y = _sel(defw[:, 2])
+    w3y = _sel(defw[:, 3])
+    ancx = _sel(anc[:, 0])
+    ancy = _sel(anc[:, 1])
 
     def row_argmax(row, w2, w3, pos, off):
         # row (K, N): argmax_n row + (-w2)*d^2 + (-w3)*d, d = pos+off-n

@@ -61,17 +61,20 @@ def _stage1_program(image, packed, plan, conv_engine: str = "spatial",
 
 
 def _stage2_program(per_bucket, packed, plan, k_per_level: int,
-                    compose: str, dp_split: int, part_masks=None):
+                    compose: str, dp_split: int, part_masks=None,
+                    walk_impl: str = "xla"):
     """Stages 3-4: DP + backtracking from transferred response maps.
     part_masks: optional per-bucket tuple of (L, P, fh, fw) bool masks
-    (latent-positive search), applied on the back group."""
+    (latent-positive search), applied on the back group.  walk_impl:
+    the back group is a single device group (no SPMD sharding), so the
+    fused Pallas walk applies exactly as on the single-chip path."""
     all_cands: List[argmax_ops.Candidates] = []
     for bucket, (pdfs, tsizes, scales) in zip(plan.buckets, per_bucket):
         bmask = None if part_masks is None else \
             part_masks[bucket.octave]
         all_cands.extend(dp_backtrack_bucket(
             bucket, pdfs, tsizes, scales, packed, k_per_level, compose,
-            bmask=bmask, dp_split=dp_split))
+            bmask=bmask, dp_split=dp_split, walk_impl=walk_impl))
     return argmax_ops.sort_candidates(
         argmax_ops.concat_candidates(all_cands))
 
@@ -87,7 +90,7 @@ class PipelinedDetector:
     def __init__(self, model: PartsModel, front, back,
                  k_per_level: int = 64, compose: str = "reference",
                  dp_split=None, conv_engine: str = "spatial",
-                 depth_prune=None):
+                 depth_prune=None, walk_impl: str = "auto"):
         if model.max_scale() > 0:
             raise ValueError(
                 "multi-resolution models couple levels across octave "
@@ -103,6 +106,12 @@ class PipelinedDetector:
         self.dp_split = int(dp_split)
         self.conv_engine = conv_engine
         self.depth_prune = depth_prune      # infer.detector.DepthPrune
+        if walk_impl == "auto":
+            # same resolution rule as the single-chip Detector: the
+            # fused walk is a TPU (Mosaic) kernel
+            walk_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        self.walk_impl = walk_impl
         packed = pack_model(model)
         # the front group only convolves: it needs the bank; the back
         # group needs the tree parameters
@@ -125,7 +134,8 @@ class PipelinedDetector:
             fn2 = jax.jit(partial(_stage2_program, plan=plan,
                                   k_per_level=self.k_per_level,
                                   compose=self.compose,
-                                  dp_split=self.dp_split))
+                                  dp_split=self.dp_split,
+                                  walk_impl=self.walk_impl))
             self._compiled[key] = (fn1, fn2, plan)
         return self._compiled[key]
 
