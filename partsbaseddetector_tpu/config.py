@@ -38,6 +38,9 @@ class RuntimeConfig:
     remove_planes: bool = False    # plane removal before clustering
     max_candidates: Optional[int] = 32
     platform: Optional[str] = None  # "cpu" | "tpu" | None = default
+    aot_dir: Optional[str] = None  # serialized-executable cache dir
+                                   # (infer/aot.py): deterministic
+                                   # serving cold-start
 
 
 @dataclasses.dataclass

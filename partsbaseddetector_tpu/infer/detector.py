@@ -272,7 +272,8 @@ class Detector:
                  dp_split: Optional[int] = None,
                  depth_prune: Optional[DepthPrune] = None,
                  conv_engine: str = "spatial",
-                 walk_impl: str = "auto"):
+                 walk_impl: str = "auto",
+                 aot_dir: Optional[str] = None):
         if model.max_scale() > 0:
             raise ValueError(
                 "model has parts at multiple resolutions (anchor ds > "
@@ -312,9 +313,35 @@ class Detector:
         if walk_impl not in ("xla", "pallas", "pallas_interpret"):
             raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
+        # AOT executable cache (infer/aot.py): when set, detect_raw /
+        # detect_batch_raw materialize programs by DESERIALIZING the
+        # compiled executable from this directory instead of compiling
+        # — the deterministic serving cold-start the C++ reference gets
+        # for free.  Weights stay traced args, so artifacts are
+        # weight-independent.
+        self.aot_dir = aot_dir
+        self.aot_stats: List = []      # one infer.aot.AotStats per
+        #                                materialized program
         # keys: (H, W) | ("batch", B, H, W) | ("masked"|"feats"|"depth",
-        # H, W) -> (compiled fn, PyramidPlan)
+        # H, W) | ("aot"[, "batch"], full shape...) ->
+        # (compiled fn, PyramidPlan)
         self._compiled: Dict[tuple, tuple] = {}
+
+    def _aot_materialize(self, key, plan, program, example_args,
+                         variant: str):
+        """Compile-or-load for one program under the AOT cache."""
+        from partsbaseddetector_tpu.infer import aot as aot_mod
+        cfg = dict(k_per_level=self.k_per_level, compose=self.compose,
+                   dt_impl=self.dt_impl, dp_split=self.dp_split,
+                   conv_engine=self.conv_engine,
+                   walk_impl=self.walk_impl, variant=variant,
+                   plan=plan.signature()
+                   if hasattr(plan, "signature") else str(key))
+        stats = aot_mod.AotStats()
+        fn = aot_mod.get_or_compile(jax.jit(program), example_args,
+                                    cfg, self.aot_dir, stats)
+        self.aot_stats.append(stats)
+        return fn
 
     @classmethod
     def from_config(cls, model: PartsModel, cfg) -> "Detector":
@@ -323,7 +350,8 @@ class Detector:
         return cls(model, k_per_level=cfg.k_per_level,
                    compose=cfg.compose, dt_impl=cfg.dt_impl,
                    dp_split=cfg.dp_split, conv_engine=cfg.conv_engine,
-                   walk_impl=getattr(cfg, "walk_impl", "auto"))
+                   walk_impl=getattr(cfg, "walk_impl", "auto"),
+                   aot_dir=getattr(cfg, "aot_dir", None))
 
     def plan_for(self, imshape: Tuple[int, int]) -> PyramidPlan:
         return make_plan(imshape, self.model.binsize, self.model.interval)
@@ -362,6 +390,19 @@ class Detector:
                 "config; construct Detector(..., depth_prune="
                 "DepthPrune(...)) (matches BatchDetector behavior)")
         if depth is None:
+            if self.aot_dir is not None:
+                # fixed calling convention for the serialized
+                # executable: f32 image, full shape in the key
+                image = image.astype(jnp.float32)
+                key = ("aot",) + tuple(image.shape)
+                if key not in self._compiled:
+                    plan = self.plan_for(image.shape[:2])
+                    fn = self._aot_materialize(
+                        key, plan, self._program(plan),
+                        (image, self.packed), "single")
+                    self._compiled[key] = (fn, plan)
+                fn, _ = self._compiled[key]
+                return fn(image, self.packed)
             fn, _ = self._get_fn(image.shape[:2])
             return fn(image, self.packed)
         key = ("depth",) + tuple(image.shape[:2])
@@ -394,6 +435,21 @@ class Detector:
                 "config; construct Detector(..., depth_prune="
                 "DepthPrune(...))")
         use_depth = depths is not None
+        if self.aot_dir is not None and not use_depth:
+            images = images.astype(jnp.float32)
+            key = ("aot", "batch") + tuple(images.shape)
+            if key not in self._compiled:
+                plan = self.plan_for(images.shape[1:3])
+                single = self._program(plan)
+
+                def batch_program(ims, packed):
+                    return jax.vmap(lambda im: single(im, packed))(ims)
+                fn = self._aot_materialize(
+                    key, plan, batch_program, (images, self.packed),
+                    "batch")
+                self._compiled[key] = (fn, plan)
+            fn, _ = self._compiled[key]
+            return fn(images, self.packed)
         key = (("batch", "depth") if use_depth else ("batch",)) \
             + (images.shape[0],) + tuple(images.shape[1:3])
         if key not in self._compiled:

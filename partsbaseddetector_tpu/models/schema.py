@@ -193,6 +193,16 @@ class PartsModel:
         return max((s for c in range(self.ncomponents)
                     for s in self.part_scales(c)), default=0)
 
+    def component_model(self, c: int) -> "PartsModel":
+        """Single-component view of component ``c`` — the parameter
+        pools are shared (ids stay valid), only the component list
+        shrinks.  The per-component inverse of train.build.merge_models
+        (the reference's DP treats components independently,
+        src/DynamicProgram.cpp:80-93), used for engines that take one
+        component at a time (native cross-check)."""
+        return dataclasses.replace(
+            self, components=[self.components[c]])
+
 
 def flatten_filter(f: np.ndarray) -> np.ndarray:
     """(h, w, C) -> reference's flattened interleaved (h, w*C) layout

@@ -53,9 +53,18 @@ def _scale_program(image, packed, plan, k_per_level: int, compose: str,
 
     nscale = mesh.shape["scale"]
     spec4 = NamedSharding(mesh, P("scale", None, None, None))
+    rep4 = NamedSharding(mesh, P(None, None, None, None))
     all_cands = []
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
                                                      plan, conv_engine):
+        # the conv leaves pdfs sharded on the FILTER axis; the DP needs
+        # every filter per level, so the transition is filter-sharded ->
+        # level-sharded.  Stage it explicitly: replicate first (a clean
+        # all-gather over the filter axis) and only then slice levels
+        # over the scale axis — a direct one-hop constraint makes the
+        # SPMD partitioner fall back to "involuntary full
+        # rematerialization" (the round-3 dryrun warning)
+        pdfs = jax.lax.with_sharding_constraint(pdfs, rep4)
         if depth is not None and depth_cfg is not None:
             bad = _depth_bad_mask(depth, bucket, depth_cfg)
             pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
@@ -149,11 +158,17 @@ class ScaleShardedDetector:
 
                 spec = NamedSharding(
                     self.mesh, P("scale", None, None, None))
+                rep = NamedSharding(self.mesh, P(None, None, None,
+                                                 None))
+
+                def _reshard(pdfs):
+                    # two-hop filter->level reshard (see _scale_program)
+                    pdfs = jax.lax.with_sharding_constraint(pdfs, rep)
+                    return jax.lax.with_sharding_constraint(pdfs, spec)
                 fn = jax.jit(partial(
                     _multires_program, plan=plan,
                     k_per_level=self.k_per_level,
-                    pdfs_transform=lambda pdfs:
-                        jax.lax.with_sharding_constraint(pdfs, spec),
+                    pdfs_transform=_reshard,
                     **static))
             else:
                 fn = jax.jit(partial(_scale_program, plan=plan,

@@ -182,12 +182,37 @@ class BatchDetector:
                   tuple(jax.numpy.asarray(m) for m in part_masks),
                   self.packed)
 
+    def local_frame_slices(self, global_batch: int):
+        """Which rows of a global batch THIS process must supply to
+        detect_batch_distributed: the union of its devices' shards
+        under the data-axis sharding.  On a 1-D (data,) mesh this is
+        the contiguous per-process slice; on a 2-D (data, filter) mesh
+        processes sharing a data row each supply the SAME rows (frames
+        replicate across the filter axis).  Returns a sorted list of
+        (start, stop) row ranges."""
+        sharding = NamedSharding(self.mesh, P("data", None, None, None))
+        m = sharding.addressable_devices_indices_map(
+            (global_batch, 1, 1, 1))
+        return sorted({(sl[0].start or 0, sl[0].stop or global_batch)
+                       for sl in m.values()})
+
+    def local_frames(self, global_images) -> np.ndarray:
+        """Slice a host-resident global batch down to the frames this
+        process owns (see local_frame_slices) — the convenience inverse
+        for drivers that materialize the whole batch on every host."""
+        global_images = np.asarray(global_images)
+        return np.concatenate(
+            [global_images[a:b] for a, b in
+             self.local_frame_slices(global_images.shape[0])])
+
     def detect_batch_distributed(self, local_images) -> Candidates:
         """Multi-PROCESS entry point (jax.distributed initialized, the
-        mesh spanning all processes' devices): every process passes its
-        LOCAL (B_local, H, W, 3) slice of the global frame batch; the
-        global batch is their concatenation along axis 0 in process
-        order.  Returns the global Candidates pytree — each process
+        mesh spanning all processes' devices): every process passes the
+        (B_local, H, W, 3) frames it OWNS under the mesh's data axis —
+        exactly the rows local_frame_slices reports, in order.  On a
+        1-D data mesh that is the per-process contiguous slice; on a
+        2-D (data, filter) mesh, processes sharing a data row pass the
+        same rows.  Returns the global Candidates pytree — each process
         addresses its own shards (use multihost_utils.process_allgather
         for a full host copy).  This is the DCN/ICI replacement for the
         reference's single-process frame loop (SURVEY.md §2.4)."""

@@ -308,6 +308,33 @@ def train_parts_model(name: str,
     return model
 
 
+def train_multi_component(name: str,
+                          groups: Sequence[dict],
+                          cfg: TrainConfig = TrainConfig(),
+                          cache_dir: Optional[str] = None,
+                          verbose: bool = True) -> PartsModel:
+    """Train one component per annotation group and merge them into a
+    single multi-component mixture model — the reference's multi-model
+    flow: trainmodel per pose/view cluster, then mergemodels
+    (matlab/learning/mergemodels.m:1-46; the VOC lineage's standard
+    recipe).  The merged model's DP searches every component at every
+    scale (src/DynamicProgram.cpp:80-87).
+
+    groups: one dict per component with keys ``pos_images``,
+    ``pos_points``, ``neg_images``, ``parents`` and optionally
+    ``mirror_map`` — the train_parts_model signature, per component.
+    Components may have different part counts/trees but must share the
+    feature hyperparameters (enforced by merge_models).
+    """
+    models = []
+    for i, g in enumerate(groups):
+        models.append(train_parts_model(
+            f"{name}_c{i}", g["pos_images"], g["pos_points"],
+            g["neg_images"], g["parents"], cfg, cache_dir=cache_dir,
+            verbose=verbose, mirror_map=g.get("mirror_map")))
+    return build_mod.merge_models(models, name=name)
+
+
 def latent_train(model: PartsModel,
                  pos_images: Sequence[np.ndarray],
                  gt_boxes: np.ndarray,

@@ -10,7 +10,13 @@ the multi-host execution path of SURVEY.md §2.4 exercised for real
 (two OS processes, coordination service over localhost, DCN-style
 addressing), which a single-process virtual mesh cannot do.
 
-Usage: python mp_worker.py <pid> <nproc> <port> <outdir>
+Usage: python mp_worker.py <pid> <nproc> <port> <outdir> [ndata nfilt]
+
+The optional trailing args pick the global mesh shape (data, filter);
+default (ndev, 1).  A 2-D shape with nproc > ndata exercises
+cross-process collectives along the FILTER axis (the all-gather of
+sharded conv responses riding the process boundary — the production
+2-D mesh of SURVEY.md §2.4).
 """
 
 import json
@@ -23,6 +29,8 @@ import traceback
 def main() -> int:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outdir = sys.argv[3], sys.argv[4]
+    mesh_shape = (tuple(int(x) for x in sys.argv[5:7])
+                  if len(sys.argv) >= 7 else None)
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # sitecustomize forces axon
@@ -44,13 +52,19 @@ def main() -> int:
     model = synthetic.tiny(seed=3)
     model.thresh = -1e9
     rng = np.random.default_rng(11)          # same batch on every process
-    B = ndev
+    if mesh_shape is None:
+        mesh_shape = (ndev, 1)
+    assert mesh_shape[0] * mesh_shape[1] == ndev, (mesh_shape, ndev)
+    B = ndev                    # divisible by the data axis either way
     images = (rng.random((B, 48, 48, 3)) * 255).astype(np.float32)
-    per = B // nproc
-    local = images[pid * per:(pid + 1) * per]
 
-    mesh = make_mesh((ndev, 1))
+    mesh = make_mesh(mesh_shape)
     bdet = BatchDetector(model, mesh, k_per_level=8)
+    # frames this process owns under the mesh's data axis (on a 2-D
+    # mesh, processes sharing a data row pass the SAME rows)
+    slices = bdet.local_frame_slices(B)
+    local = bdet.local_frames(images)
+    owned = [g for a, b in slices for g in range(a, b)]
     t0 = time.time()
     out = bdet.detect_batch_distributed(local)
     jax.block_until_ready(out.score)
@@ -61,7 +75,7 @@ def main() -> int:
     full = multihost_utils.process_allgather(out, tiled=True)
     det = Detector(model, k_per_level=8, dp_split=bdet.dp_split)
     checked = 0
-    for g in range(pid * per, (pid + 1) * per):
+    for g in owned:
         single = det.detect_raw(images[g])
 
         def entries(score, valid, loc, level):
@@ -74,15 +88,21 @@ def main() -> int:
                       full.level[g])
         ref = entries(single.score, single.valid, single.loc,
                       single.level)
-        assert got.keys() == ref.keys(), (
-            f"frame {g}: {len(got)} vs {len(ref)} candidate keys")
+        if got.keys() != ref.keys():
+            only_got = {k: got[k] for k in set(got) - set(ref)}
+            only_ref = {k: ref[k] for k in set(ref) - set(got)}
+            raise AssertionError(
+                f"frame {g}: key mismatch; only_got="
+                f"{sorted(only_got.items())[:6]} only_ref="
+                f"{sorted(only_ref.items())[:6]}")
         for k in got:
             assert abs(got[k] - ref[k]) < 5e-4, (g, k, got[k], ref[k])
         checked += 1
 
     with open(os.path.join(outdir, f"p{pid}.json"), "w") as f:
         json.dump({"ok": True, "pid": pid, "checked": checked,
-                   "ndev": ndev, "elapsed_s": elapsed}, f)
+                   "owned": owned, "ndev": ndev,
+                   "elapsed_s": elapsed}, f)
     return 0
 
 

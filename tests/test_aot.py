@@ -1,0 +1,111 @@
+"""AOT executable cache: deterministic serving cold-start
+(infer/aot.py).  The reference's cold start is zero (a C++ binary);
+the AOT cache makes the TPU detector's restart a load-from-disk of the
+serialized compiled executable instead of an XLA compile."""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu.infer.detector import Detector
+from partsbaseddetector_tpu.models import synthetic
+
+
+@pytest.fixture()
+def setup(tmp_path):
+    model = synthetic.tiny(seed=3)
+    model.thresh = -1e9
+    im = (np.random.default_rng(0).random((64, 64, 3)) * 255
+          ).astype(np.float32)
+    return model, im, str(tmp_path)
+
+
+def _entries(c):
+    return {(int(l), tuple(map(tuple, x))): float(s)
+            for s, v, x, l in zip(np.asarray(c.score),
+                                  np.asarray(c.valid),
+                                  np.asarray(c.loc),
+                                  np.asarray(c.level)) if v}
+
+
+def test_aot_roundtrip_bit_identical(setup):
+    model, im, aot_dir = setup
+
+    det1 = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    out1 = det1.detect_raw(im)
+    assert len(det1.aot_stats) == 1
+    assert not det1.aot_stats[0].hit          # cold: compiled + saved
+
+    # a fresh detector (fresh process stand-in) loads the executable
+    det2 = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    out2 = det2.detect_raw(im)
+    assert len(det2.aot_stats) == 1
+    assert det2.aot_stats[0].hit, "expected AOT cache hit"
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+    np.testing.assert_array_equal(np.asarray(out1.loc),
+                                  np.asarray(out2.loc))
+
+    # and matches the plain jit path exactly
+    det3 = Detector(model, k_per_level=8)
+    out3 = det3.detect_raw(im)
+    assert _entries(out2) == _entries(out3)
+
+
+def test_aot_weight_independence(setup):
+    """Executables are weight-independent (weights are traced args):
+    update_model reuses the loaded executable, same as the jit path's
+    no-recompile contract."""
+    import copy
+
+    model, im, aot_dir = setup
+    det = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    det.detect_raw(im)
+
+    # same structure (tree/shapes/static config), different weights
+    model2 = copy.deepcopy(model)
+    rng = np.random.default_rng(9)
+    model2.filters = [f + rng.normal(0, 0.02, f.shape)
+                      for f in model2.filters]
+    model2.biasw = model2.biasw + rng.normal(0, 0.05, model2.biasw.shape)
+    det2 = Detector(model2, k_per_level=8, aot_dir=aot_dir)
+    out = det2.detect_raw(im)                 # hits det's artifact
+    assert det2.aot_stats[0].hit
+    ref = Detector(model2, k_per_level=8).detect_raw(im)
+    assert _entries(out) == _entries(ref)
+
+
+def test_aot_batch_and_config_keying(setup):
+    model, im, aot_dir = setup
+    ims = np.stack([im, im[:, :, ::-1]])
+
+    det = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    outb = det.detect_batch_raw(ims)
+    assert not det.aot_stats[0].hit
+
+    det2 = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    outb2 = det2.detect_batch_raw(ims)
+    assert det2.aot_stats[0].hit
+    np.testing.assert_array_equal(np.asarray(outb.score),
+                                  np.asarray(outb2.score))
+
+    # a different config must MISS (would be a wrong-program bug
+    # otherwise)
+    det3 = Detector(model, k_per_level=4, aot_dir=aot_dir)
+    det3.detect_batch_raw(ims)
+    assert not det3.aot_stats[0].hit
+
+
+def test_aot_corrupt_artifact_falls_back(setup):
+    import glob
+    import os
+
+    model, im, aot_dir = setup
+    det = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    ref = _entries(det.detect_raw(im))
+    (path,) = glob.glob(os.path.join(aot_dir, "aot_*.bin"))
+    with open(path, "wb") as f:
+        f.write(b"garbage")
+    det2 = Detector(model, k_per_level=8, aot_dir=aot_dir)
+    out = det2.detect_raw(im)                 # silent recompile
+    assert not det2.aot_stats[0].hit
+    assert _entries(out) == ref
