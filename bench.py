@@ -37,6 +37,13 @@ FRAMES = 4 * BATCH
 MODEL = os.environ.get("PBD_BENCH_MODEL", "person26")
 #: stage-2 engine: "spatial" | "fft" (--conv-engine / PBD_BENCH_CONV)
 CONV = os.environ.get("PBD_BENCH_CONV", "spatial")
+#: AOT executable cache dir ("" disables) — serving restarts
+#: deserialize the compiled executable instead of recompiling
+#: (infer/aot.py; SERVING.md §compile)
+AOT_DIR = os.environ.get(
+    "PBD_BENCH_AOT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".aot_cache"))
 
 
 def make_flagship(name: str):
@@ -58,7 +65,8 @@ def measure_tpu_fps() -> dict:
     cache_dir = enable_compilation_cache()
 
     model = make_flagship(MODEL)
-    det = Detector(model, k_per_level=64, conv_engine=CONV)
+    det = Detector(model, k_per_level=64, conv_engine=CONV,
+                   aot_dir=AOT_DIR or None)
     rng = np.random.default_rng(0)
     frames = [(rng.random(IMG + (3,)) * 255).astype(np.uint8)
               for _ in range(FRAMES)]
@@ -117,6 +125,12 @@ def measure_tpu_fps() -> dict:
         "model": MODEL,
         "conv_engine": CONV,
         "cache_dir": cache_dir,
+        # per-program AOT outcome: hit=True means this startup loaded
+        # the serialized executable instead of compiling (the
+        # deterministic-restart path, SERVING.md §compile)
+        "aot": [{"hit": s.hit, "load_s": round(s.load_s, 2),
+                 "compile_s": round(s.compile_s, 2)}
+                for s in det.aot_stats],
     }
 
 

@@ -207,7 +207,8 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     depth=None,
                     depth_cfg: Optional[DepthPrune] = None,
                     conv_engine: str = "spatial",
-                    walk_impl: str = "xla"
+                    walk_impl: str = "xla",
+                    pdfs_transform=None
                     ) -> argmax_ops.Candidates:
     """The full jitted detection program for one image.
 
@@ -216,11 +217,18 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
     depth + depth_cfg: optional (H, W) depth map (meters) and static
     pruning config — masks stage-2 responses at implausible depths
     before the DP (the realized filterResponseByDepth call site,
-    src/PartsBasedDetector.cpp:86)."""
+    src/PartsBasedDetector.cpp:86).
+    pdfs_transform: optional fn(pdfs (L, fh, fw, F_local)) -> (L, fh,
+    fw, F) applied per bucket right after stage 2 — the hook the
+    manual-sharding (shard_map) batch path uses to all-gather
+    filter-sharded conv responses before the DP (parallel/sharded.py).
+    """
     all_cands: List[argmax_ops.Candidates] = []
 
     for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
                                                      plan, conv_engine):
+        if pdfs_transform is not None:
+            pdfs = pdfs_transform(pdfs)
         if depth is not None and depth_cfg is not None:
             bad = _depth_bad_mask(depth, bucket, depth_cfg)
             pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)
@@ -391,10 +399,10 @@ class Detector:
                 "DepthPrune(...)) (matches BatchDetector behavior)")
         if depth is None:
             if self.aot_dir is not None:
-                # fixed calling convention for the serialized
-                # executable: f32 image, full shape in the key
-                image = image.astype(jnp.float32)
-                key = ("aot",) + tuple(image.shape)
+                # the executable's calling convention is fixed at full
+                # (shape, dtype) — keyed here; uint8 frames stay uint8
+                # (host->device transfer volume matters, PERF.md)
+                key = ("aot",) + tuple(image.shape) + (str(image.dtype),)
                 if key not in self._compiled:
                     plan = self.plan_for(image.shape[:2])
                     fn = self._aot_materialize(
@@ -436,8 +444,8 @@ class Detector:
                 "DepthPrune(...))")
         use_depth = depths is not None
         if self.aot_dir is not None and not use_depth:
-            images = images.astype(jnp.float32)
-            key = ("aot", "batch") + tuple(images.shape)
+            key = ("aot", "batch") + tuple(images.shape) \
+                + (str(images.dtype),)
             if key not in self._compiled:
                 plan = self.plan_for(images.shape[1:3])
                 single = self._program(plan)

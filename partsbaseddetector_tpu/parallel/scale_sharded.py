@@ -48,7 +48,8 @@ def make_scale_mesh(shape: Tuple[int, int] = None, devices=None) -> Mesh:
 
 def _scale_program(image, packed, plan, k_per_level: int, compose: str,
                    mesh: Mesh, conv_engine: str = "spatial",
-                   part_masks=None, depth=None, depth_cfg=None):
+                   part_masks=None, depth=None, depth_cfg=None,
+                   walk_impl: str = "xla"):
     from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
 
     nscale = mesh.shape["scale"]
@@ -89,16 +90,66 @@ def _scale_program(image, packed, plan, k_per_level: int, compose: str,
         # and HOG vmaps and forward through the DP and backtracking
         pdfs = jax.lax.with_sharding_constraint(pdfs, spec4)
         for c, comp in enumerate(packed.components):
-            res = dp_min_levels(pdfs, comp, compose,
-                                part_masks=bmask)
-            cands = argmax_ops.backtrack_levels(
-                res, comp, packed.parent_static[c], packed.thresh,
-                scales, k_per_level, true_sizes=tsizes,
-                component_index=c,
-                level_offset=bucket.levels[0].index, compose=compose)
+            if walk_impl != "xla":
+                # fused Pallas walk: not GSPMD-partitionable, so
+                # stages 3-4 run under shard_map — each scale shard
+                # processes its own levels (the DP is per-level
+                # independent), with per-shard level offsets
+                cands = _stage34_shard_map(
+                    pdfs, tsizes, scales, bmask, comp,
+                    packed.parent_static[c], packed.thresh, mesh,
+                    compose, k_per_level, c,
+                    bucket.levels[0].index, walk_impl)
+            else:
+                res = dp_min_levels(pdfs, comp, compose,
+                                    part_masks=bmask)
+                cands = argmax_ops.backtrack_levels(
+                    res, comp, packed.parent_static[c], packed.thresh,
+                    scales, k_per_level, true_sizes=tsizes,
+                    component_index=c,
+                    level_offset=bucket.levels[0].index,
+                    compose=compose)
             all_cands.append(cands)
     merged = argmax_ops.concat_candidates(all_cands)
     return argmax_ops.sort_candidates(merged)
+
+
+def _stage34_shard_map(pdfs, tsizes, scales, bmask, comp,
+                       parent_static, thresh, mesh: Mesh, compose: str,
+                       k_per_level: int, component_index: int,
+                       base_level: int, walk_impl: str):
+    """Stages 3-4 for one (bucket, component) under jax.shard_map over
+    the scale axis: each shard runs the per-level-independent DP +
+    fused-walk backtracking on its local level slice, stamping levels
+    with its per-shard offset.  The filter axis is unmentioned (inputs
+    replicated across it; the duplicated stage-3/4 work matches what
+    GSPMD propagation chooses on the auto path)."""
+    nscale = mesh.shape["scale"]
+    L_local = pdfs.shape[0] // nscale
+
+    def body(pdfs_l, ts_l, sc_l, bm_l, comp_l, thresh_l):
+        offset = base_level + jax.lax.axis_index("scale") * L_local
+        res = dp_min_levels(pdfs_l, comp_l, compose, part_masks=bm_l)
+        return argmax_ops.backtrack_levels(
+            res, comp_l, parent_static, thresh_l, sc_l, k_per_level,
+            true_sizes=ts_l, component_index=component_index,
+            level_offset=offset, compose=compose, walk_impl=walk_impl)
+
+    comp_specs = jax.tree.map(lambda _: P(), comp)
+    if bmask is None:
+        fn = jax.shard_map(
+            lambda a, b, c, d, e: body(a, b, c, None, d, e),
+            mesh=mesh,
+            in_specs=(P("scale"), P("scale"), P("scale"), comp_specs,
+                      P()),
+            out_specs=P("scale"), check_vma=False)
+        return fn(pdfs, tsizes, scales, comp, thresh)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("scale"), P("scale"), P("scale"), P("scale"),
+                  comp_specs, P()),
+        out_specs=P("scale"), check_vma=False)
+    return fn(pdfs, tsizes, scales, bmask, comp, thresh)
 
 
 class ScaleShardedDetector:
@@ -111,7 +162,8 @@ class ScaleShardedDetector:
 
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
-                 conv_engine: str = "spatial", depth_prune=None):
+                 conv_engine: str = "spatial", depth_prune=None,
+                 walk_impl: str = "auto"):
         # multi-resolution models route through the multires program
         # with each bucket's level axis sharded; the cross-octave slot
         # reads (a part's maps one bucket finer than its root) reshard
@@ -123,6 +175,16 @@ class ScaleShardedDetector:
         self.compose = compose
         self.conv_engine = conv_engine
         self.depth_prune = depth_prune      # infer.detector.DepthPrune
+        if walk_impl == "auto":
+            # fused walk on TPU (under shard_map, stages 3-4); XLA walk
+            # elsewhere — same resolution rule as Detector.  The
+            # multires program keeps the XLA walk (its cross-octave
+            # walk has no fused kernel).
+            walk_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        if walk_impl not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"walk_impl {walk_impl!r}")
+        self.walk_impl = walk_impl
         packed = pack_model(model)
         # shard the filter bank over the filter axis (padded), like
         # BatchDetector; everything else replicated
@@ -176,6 +238,7 @@ class ScaleShardedDetector:
                                      compose=self.compose,
                                      mesh=self.mesh,
                                      conv_engine=self.conv_engine,
+                                     walk_impl=self.walk_impl,
                                      **static))
             self._compiled[key] = fn
         return self._compiled[key]

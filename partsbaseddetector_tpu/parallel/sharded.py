@@ -37,7 +37,8 @@ class BatchDetector:
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
                  dt_impl: str = "auto", dp_split=None,
-                 conv_engine: str = "spatial", depth_prune=None):
+                 conv_engine: str = "spatial", depth_prune=None,
+                 walk_impl: str = "auto"):
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
@@ -48,6 +49,16 @@ class BatchDetector:
         self.dp_split = int(dp_split)
         self.conv_engine = conv_engine
         self.depth_prune = depth_prune      # infer.detector.DepthPrune
+        if walk_impl == "auto":
+            # same rule as the single-chip Detector; the fused walk is
+            # a Mosaic (TPU) kernel.  On the sharded path it runs under
+            # shard_map (manual data+filter axes) because Mosaic custom
+            # calls are not auto-partitionable by GSPMD.
+            walk_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        if walk_impl not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"walk_impl {walk_impl!r}")
+        self.walk_impl = walk_impl
         # multi-resolution models route through the multires program
         # (same facade; the single-res program asserts max_scale() == 0)
         self.multires = model.max_scale() > 0
@@ -115,6 +126,9 @@ class BatchDetector:
                     single = _partial(base, depth_cfg=self.depth_prune)
                 else:
                     single = base
+                if self.walk_impl != "xla":
+                    return self._shard_map_fn(key, plan, single,
+                                              variant)
 
             img_sharding = NamedSharding(
                 self.mesh, P("data", None, None))
@@ -148,6 +162,58 @@ class BatchDetector:
                              out_shardings=out_sharding)
             self._compiled[key] = fn
         return self._compiled[key]
+
+    def _shard_map_fn(self, key, plan, single, variant: str):
+        """Manual-sharding batch program (jax.shard_map over the
+        (data, filter) mesh) for the fused Pallas walk: Mosaic custom
+        calls are not auto-partitionable by GSPMD, so the whole
+        per-frame program runs per data shard, with the filter-sharded
+        stage-2 responses ALL-GATHERED explicitly (the one collective
+        of the program) before the DP.  Stages 3-4 are replicated
+        across the filter axis — the same work placement GSPMD's
+        propagation chooses for the auto path, expressed manually.
+        Numerics are identical to the auto path (the all-gather
+        reconstructs the full bank order; the per-frame program is
+        unchanged)."""
+        import dataclasses as _dc
+        from functools import partial as _partial
+
+        if key in self._compiled:
+            return self._compiled[key]
+
+        single = _partial(
+            single, walk_impl=self.walk_impl,
+            pdfs_transform=lambda pdfs: jax.lax.all_gather(
+                pdfs, "filter", axis=-1, tiled=True))
+
+        packed_specs = jax.tree.map(lambda _: P(), self.packed)
+        packed_specs = _dc.replace(
+            packed_specs, bank=P(None, None, None, "filter"))
+        img_spec = P("data", None, None, None)
+        out_spec = P("data")
+
+        if variant == "depth":
+            def program(images, depths, packed):
+                return jax.vmap(lambda im, d: single(
+                    im, packed, depth=d))(images, depths)
+            in_specs = (img_spec, P("data", None, None), packed_specs)
+        elif variant == "masked":
+            def program(images, masks, packed):
+                return jax.vmap(lambda im, m: single(
+                    im, packed, part_masks=m))(images, masks)
+            in_specs = (img_spec,
+                        tuple(P("data", None, None, None, None)
+                              for _ in plan.buckets), packed_specs)
+        else:
+            def program(images, packed):
+                return jax.vmap(lambda im: single(im, packed))(images)
+            in_specs = (img_spec, packed_specs)
+
+        fn = jax.jit(jax.shard_map(
+            program, mesh=self.mesh, in_specs=in_specs,
+            out_specs=out_spec, check_vma=False))
+        self._compiled[key] = fn
+        return fn
 
     def _check_batch(self, images):
         images = jax.numpy.asarray(images, jax.numpy.float32)
