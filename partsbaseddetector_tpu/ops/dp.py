@@ -41,11 +41,19 @@ walk_children ("reference" mode) or fixed ("correct" mode).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+#: unroll factor of the leaf->root part scan (PBD_DP_UNROLL).  Unrolling
+#: lets XLA fuse across consecutive part steps and drop the per-iteration
+#: carry relayout copies the profiler attributes ~3 ms/frame to — at the
+#: cost of a bigger program (compile time).  Default 1; see PERF.md
+#: §scan-unroll for the measured sweep.
+SCAN_UNROLL = int(os.environ.get("PBD_DP_UNROLL", "1"))
 
 from partsbaseddetector_tpu.models.part_tree import PackedComponent
 from partsbaseddetector_tpu.ops.common import NEG
@@ -111,7 +119,8 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
         return scores, tmp
 
     parts_rev = jnp.arange(P - 1, 0, -1)
-    scores, tmps = jax.lax.scan(step, scores0, parts_rev)
+    scores, tmps = jax.lax.scan(step, scores0, parts_rev,
+                                unroll=min(SCAN_UNROLL, max(P - 1, 1)))
 
     # scan outputs visited P-1..1 -> part-index order with a zero row for
     # the root (whose tmp is never read)

@@ -5,9 +5,12 @@
         --parents 0,1,2 [--nmix K] [--binsize B] [--interval I]
         [--iters N] [--cache DIR] [--negatives NEG.npz]
 
-DATASET: .npz from tools/datasets.py (or 'synthetic[:N]' for the
-built-in generator).  parents: 1-based parent list like the reference's
-pa vector (0 = root), or 0-based with --zero-based."""
+DATASET: a .npz from tools/datasets.py, a PARSE-style DIRECTORY
+(images + labels.mat with (P, 2, N) keypoints — the layout
+matlab/learning/getPositiveData.m reads, driven from
+matlab/training_demo.m:1-42), or 'synthetic[:N]' for the built-in
+generator.  parents: 1-based parent list like the reference's pa
+vector (0 = root), or 0-based with --zero-based."""
 
 from __future__ import annotations
 

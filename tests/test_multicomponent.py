@@ -114,18 +114,26 @@ def test_mirrored_shared_pool_matches_oracle():
     _oracle_vs_detector(model, im)
 
 
-def test_two_component_native_cross_check():
+@pytest.mark.parametrize("kind", ["merged", "mirrored"])
+def test_two_component_native_cross_check(kind):
     """Independent engine: the native C++ pipeline (envelope DT,
     reference algorithm structure) run per component must reproduce the
     JAX multi-component candidate sets — merge semantics included
-    (the reference's per-(scale, component) DP independence)."""
+    (the reference's per-(scale, component) DP independence).  The
+    "mirrored" variant shares ONE filter pool across components (the
+    packed bank convolves each filter once; the native engine convolves
+    its per-component dense copy) — agreement proves the cross-
+    component response sharing changes nothing."""
     from partsbaseddetector_tpu import native_engine as ne
     try:
         eng = ne.NativeEngine()
     except (RuntimeError, OSError) as e:
         pytest.skip(f"native engine unavailable: {e}")
 
-    model = two_component()
+    if kind == "merged":
+        model = two_component()
+    else:
+        model = mirror_component(synthetic.tiny(seed=4), [0, 1, 2, 3])
     model.thresh = -1e9
     rng = np.random.default_rng(15)
     im = (rng.random((96, 128, 3)) * 255).astype(np.float32)
