@@ -37,9 +37,12 @@ FRAMES = 4 * BATCH
 MODEL = os.environ.get("PBD_BENCH_MODEL", "person26")
 #: stage-2 engine: "spatial" | "fft" (--conv-engine / PBD_BENCH_CONV)
 CONV = os.environ.get("PBD_BENCH_CONV", "spatial")
-#: AOT executable cache dir ("" disables) — serving restarts
-#: deserialize the compiled executable instead of recompiling
-#: (infer/aot.py; SERVING.md §compile)
+#: AOT executable cache dir ("" disables the restart measurement) —
+#: serving restarts deserialize the compiled executable instead of
+#: recompiling (infer/aot.py; SERVING.md §compile).  The THROUGHPUT
+#: measurement always runs through jit (the loaded-executable call
+#:  path measured -1.3% fps, PERF.md §AOT); the AOT path is
+#: materialized separately and reported in the detail.
 AOT_DIR = os.environ.get(
     "PBD_BENCH_AOT",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -65,13 +68,28 @@ def measure_tpu_fps() -> dict:
     cache_dir = enable_compilation_cache()
 
     model = make_flagship(MODEL)
-    det = Detector(model, k_per_level=64, conv_engine=CONV,
-                   aot_dir=AOT_DIR or None)
     rng = np.random.default_rng(0)
     frames = [(rng.random(IMG + (3,)) * 255).astype(np.uint8)
               for _ in range(FRAMES)]
     batches = [np.stack(frames[i:i + BATCH])
                for i in range(0, FRAMES, BATCH)]
+
+    # ---- AOT restart measurement (separate Detector; the serving
+    # cold-start story: XLA compile replaced by a deserialize)
+    aot_detail = None
+    if AOT_DIR:
+        adet = Detector(model, k_per_level=64, conv_engine=CONV,
+                        aot_dir=AOT_DIR)
+        t0 = time.time()
+        c = adet.detect_batch_raw(batches[0])
+        np.asarray(c.score)
+        s = adet.aot_stats[0]
+        aot_detail = {"hit": s.hit, "load_s": round(s.load_s, 2),
+                      "compile_s": round(s.compile_s, 2),
+                      "first_call_s": round(time.time() - t0, 2)}
+        del adet
+
+    det = Detector(model, k_per_level=64, conv_engine=CONV)
 
     # micro-batched serving program (one dispatch per BATCH frames —
     # the serving path of infer/stream.StreamingDetector.stream)
@@ -125,12 +143,11 @@ def measure_tpu_fps() -> dict:
         "model": MODEL,
         "conv_engine": CONV,
         "cache_dir": cache_dir,
-        # per-program AOT outcome: hit=True means this startup loaded
-        # the serialized executable instead of compiling (the
-        # deterministic-restart path, SERVING.md §compile)
-        "aot": [{"hit": s.hit, "load_s": round(s.load_s, 2),
-                 "compile_s": round(s.compile_s, 2)}
-                for s in det.aot_stats],
+        # AOT restart outcome for the batch serving program: hit=True
+        # means this startup DESERIALIZED the executable instead of
+        # compiling (load_s), the deterministic-restart path
+        # (SERVING.md §compile; PERF.md §AOT for the distribution)
+        "aot": aot_detail,
     }
 
 

@@ -119,20 +119,24 @@ class AotStats:
 def get_or_compile(jitted, example_args: Tuple[Any, ...],
                    program_config: dict,
                    aot_dir: Optional[str],
-                   stats: Optional[AotStats] = None):
+                   stats: Optional[AotStats] = None,
+                   devices=None):
     """Return a callable for ``jitted``: the AOT-cached executable when
     present, else lower+compile (and persist when ``aot_dir`` is set).
 
     example_args: concrete arrays or ShapeDtypeStructs matching the
     call signature.  The returned callable has Compiled semantics:
     fixed shapes/dtypes/devices (callers normalize input dtype).
+    devices: execution devices (default first device); pass the mesh's
+    device list for sharded programs — both the cache key and the
+    deserialization target follow it.
     """
     import time
     if aot_dir is None:
         return jitted
-    key = cache_key(program_config, example_args)
+    key = cache_key(program_config, example_args, devices=devices)
     t0 = time.time()
-    cached = load(aot_dir, key)
+    cached = load(aot_dir, key, devices=devices)
     if cached is not None:
         if stats is not None:
             stats.key, stats.hit = key, True

@@ -38,7 +38,7 @@ class BatchDetector:
                  k_per_level: int = 64, compose: str = "reference",
                  dt_impl: str = "auto", dp_split=None,
                  conv_engine: str = "spatial", depth_prune=None,
-                 walk_impl: str = "auto"):
+                 walk_impl: str = "auto", aot_dir=None):
         self.model = model
         self.mesh = mesh
         self.k_per_level = int(k_per_level)
@@ -59,6 +59,12 @@ class BatchDetector:
         if walk_impl not in ("xla", "pallas", "pallas_interpret"):
             raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
+        # AOT executable cache for the SHARDED serving program
+        # (infer/aot.py): restart of a fleet deserializes the SPMD
+        # executable per host instead of recompiling; artifacts keyed
+        # by mesh shape + device list on top of the single-chip key.
+        self.aot_dir = aot_dir
+        self.aot_stats = []
         # multi-resolution models route through the multires program
         # (same facade; the single-res program asserts max_scale() == 0)
         self.multires = model.max_scale() > 0
@@ -235,6 +241,26 @@ class BatchDetector:
         if depths is not None:
             fn = self._get_fn(images.shape, "depth")
             return fn(images, jax.numpy.asarray(depths), self.packed)
+        if self.aot_dir is not None:
+            key = ("aot",) + tuple(images.shape) + (str(images.dtype),)
+            if key not in self._compiled:
+                from partsbaseddetector_tpu.infer import aot as aot_mod
+                jitted = self._get_fn(images.shape)
+                cfg = dict(kind="batch_sharded",
+                           mesh=dict(self.mesh.shape),
+                           k_per_level=self.k_per_level,
+                           compose=self.compose, dt_impl=self.dt_impl,
+                           dp_split=self.dp_split,
+                           conv_engine=self.conv_engine,
+                           walk_impl=self.walk_impl,
+                           multires=self.multires)
+                stats = aot_mod.AotStats()
+                fn = aot_mod.get_or_compile(
+                    jitted, (images, self.packed), cfg, self.aot_dir,
+                    stats, devices=list(self.mesh.devices.flat))
+                self.aot_stats.append(stats)
+                self._compiled[key] = fn
+            return self._compiled[key](images, self.packed)
         fn = self._get_fn(images.shape)
         return fn(images, self.packed)
 

@@ -95,6 +95,46 @@ def test_aot_batch_and_config_keying(setup):
     assert not det3.aot_stats[0].hit
 
 
+def test_aot_sharded_batch(setup):
+    """AOT restart of the SHARDED serving program: the SPMD executable
+    (data x filter mesh) serializes and a fresh BatchDetector loads it,
+    reproducing the jit path exactly."""
+    import jax
+
+    from partsbaseddetector_tpu.parallel.mesh import make_mesh
+    from partsbaseddetector_tpu.parallel.sharded import BatchDetector
+
+    model, im, aot_dir = setup
+    ims = np.stack([im] * 4)
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+
+    b1 = BatchDetector(model, mesh, k_per_level=8, dp_split=1,
+                       aot_dir=aot_dir)
+    out1 = b1.detect_batch(ims)
+    assert len(b1.aot_stats) == 1 and not b1.aot_stats[0].hit
+
+    b2 = BatchDetector(model, mesh, k_per_level=8, dp_split=1,
+                       aot_dir=aot_dir)
+    out2 = b2.detect_batch(ims)
+    assert b2.aot_stats[0].hit, "expected sharded AOT cache hit"
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+
+    ref = BatchDetector(model, mesh, k_per_level=8,
+                        dp_split=1).detect_batch(ims)
+    np.testing.assert_array_equal(np.asarray(out2.score),
+                                  np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(out2.loc),
+                                  np.asarray(ref.loc))
+
+    # a different mesh SHAPE over the same devices must miss
+    mesh2 = make_mesh((4, 1), devices=jax.devices()[:4])
+    b3 = BatchDetector(model, mesh2, k_per_level=8, dp_split=1,
+                       aot_dir=aot_dir)
+    b3.detect_batch(ims)
+    assert not b3.aot_stats[0].hit
+
+
 def test_aot_corrupt_artifact_falls_back(setup):
     import glob
     import os

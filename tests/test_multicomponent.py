@@ -160,6 +160,35 @@ def test_two_component_native_cross_check(kind):
         assert exact >= 0.95 * total, (c, exact, total)
 
 
+def test_merged_model_format_roundtrip(tmp_path):
+    """A merged 2-component model survives every serialization format
+    (the reference stores per-component indexers,
+    src/FileStorageModel.cpp:130-153) and detects identically after
+    reload."""
+    from partsbaseddetector_tpu.models import (load_any, save_filestorage)
+    from partsbaseddetector_tpu.models.npzio import load_npz, save_npz
+
+    model = two_component()
+    model.thresh = -1e9
+    rng = np.random.default_rng(3)
+    im = rng.random((64, 64)) * 255
+    ref = Detector(model, k_per_level=4).detect(im)
+
+    for name, save, load in (
+            ("m.xml", save_filestorage, load_any),
+            ("m.yml", save_filestorage, load_any),
+            ("m.npz", save_npz, load_npz)):
+        path = str(tmp_path / name)
+        save(path, model)
+        m2 = load(path)
+        assert m2.ncomponents == 2
+        got = Detector(m2, k_per_level=4).detect(im)
+        assert [(d.component, d.level, tuple(map(tuple, d.locations)))
+                for d in got] == \
+            [(d.component, d.level, tuple(map(tuple, d.locations)))
+             for d in ref], name
+
+
 def test_train_multi_component(tmp_path):
     """Trainer emits a merged multi-component model (trainmodel per
     group + mergemodels, matlab/learning/mergemodels.m), and the merged
