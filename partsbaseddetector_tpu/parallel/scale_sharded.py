@@ -186,6 +186,12 @@ class ScaleShardedDetector:
             raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
         packed = pack_model(model)
+        if self.multires and any(c.aliased for c in packed.components):
+            # same boundary as MultiResDetector (no reference
+            # semantics for multires + within-component sharing)
+            raise NotImplementedError(
+                "multi-resolution models with shared filter ids within "
+                "a component are not supported")
         # shard the filter bank over the filter axis (padded), like
         # BatchDetector; everything else replicated
         nfilt = mesh.shape["filter"]

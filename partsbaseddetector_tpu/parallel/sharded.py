@@ -69,6 +69,13 @@ class BatchDetector:
         # (same facade; the single-res program asserts max_scale() == 0)
         self.multires = model.max_scale() > 0
         self.packed = pack_model(model)
+        if self.multires and any(c.aliased
+                                 for c in self.packed.components):
+            # same boundary as MultiResDetector: the multires DP has no
+            # filter-keyed accumulator (no reference semantics to match)
+            raise NotImplementedError(
+                "multi-resolution models with shared filter ids within "
+                "a component are not supported")
         # pad the filter bank's output-channel axis to the filter-axis
         # size (padded filters are all-zero and never referenced by any
         # filterid), then shard it

@@ -120,9 +120,57 @@ def test_aliased_detector_matches_oracle(seed):
     assert abs(len(dets) - len(ref)) <= max(1, int(0.1 * len(ref)))
 
 
+def test_aliased_batch_detector_matches_single():
+    """The filter-keyed accumulator scan under the sharded batch path
+    (vmap + SPMD over a (2,2) mesh) reproduces the single-chip aliased
+    detector."""
+    import jax
+
+    from partsbaseddetector_tpu.parallel.mesh import make_mesh
+    from partsbaseddetector_tpu.parallel.sharded import BatchDetector
+
+    model = aliased_chain()
+    model.thresh = -1e9
+    rng = np.random.default_rng(21)
+    ims = (rng.random((4, 64, 64, 3)) * 255).astype(np.float32)
+
+    det = Detector(model, k_per_level=4, dp_split=1)
+    bdet = BatchDetector(model, make_mesh((2, 2),
+                                          devices=jax.devices()[:4]),
+                         k_per_level=4, dp_split=1)
+    cands = bdet.detect_batch(ims)
+    for i in range(4):
+        single = det.detect_raw(ims[i])
+        np.testing.assert_allclose(np.asarray(cands.score[i]),
+                                   np.asarray(single.score), atol=2e-4)
+        v = np.asarray(single.valid)
+        np.testing.assert_array_equal(np.asarray(cands.valid[i]), v)
+        np.testing.assert_array_equal(np.asarray(cands.loc[i])[v],
+                                      np.asarray(single.loc)[v])
+
+
 def test_aliased_multires_is_explicit_error():
+    """Multires + within-component sharing is an explicit error on
+    EVERY path that serves multires models (no silent part-keyed
+    fallback)."""
+    import jax
+
     from partsbaseddetector_tpu.infer.multires import MultiResDetector
+    from partsbaseddetector_tpu.parallel.mesh import make_mesh
+    from partsbaseddetector_tpu.parallel.scale_sharded import (
+        ScaleShardedDetector, make_scale_mesh)
+    from partsbaseddetector_tpu.parallel.sharded import BatchDetector
 
     model = aliased_chain()
     with pytest.raises(NotImplementedError, match="shared filter"):
         MultiResDetector(model)
+
+    mr = synthetic.tiny_multires(seed=5)
+    comp = mr.components[0]
+    comp.parts[2].filterid[0] = comp.parts[1].filterid[0]
+    mr.validate()
+    devs = jax.devices()[:4]
+    with pytest.raises(NotImplementedError, match="shared filter"):
+        BatchDetector(mr, make_mesh((2, 2), devices=devs))
+    with pytest.raises(NotImplementedError, match="shared filter"):
+        ScaleShardedDetector(mr, make_scale_mesh((2, 2), devices=devs))
