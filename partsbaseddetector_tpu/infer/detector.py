@@ -413,13 +413,30 @@ class Detector:
                 return fn(image, self.packed)
             fn, _ = self._get_fn(image.shape[:2])
             return fn(image, self.packed)
+        depth = jnp.asarray(depth)
+        if self.aot_dir is not None:
+            key = ("aot", "depth") + tuple(image.shape) \
+                + (str(image.dtype), str(depth.dtype))
+            if key not in self._compiled:
+                plan = self.plan_for(image.shape[:2])
+                single = self._program(plan, depth_cfg=self.depth_prune)
+                # positional wrapper: Compiled's serialized calling
+                # convention is positional-only
+                prog = (lambda image, packed, depth:
+                        single(image, packed, depth=depth))
+                fn = self._aot_materialize(
+                    key, plan, prog, (image, self.packed, depth),
+                    "depth")
+                self._compiled[key] = (fn, plan)
+            fn, _ = self._compiled[key]
+            return fn(image, self.packed, depth)
         key = ("depth",) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = self.plan_for(image.shape[:2])
             fn = jax.jit(self._program(plan, depth_cfg=self.depth_prune))
             self._compiled[key] = (fn, plan)
         fn, _ = self._compiled[key]
-        return fn(image, self.packed, depth=jnp.asarray(depth))
+        return fn(image, self.packed, depth=depth)
 
     def detect_batch_raw(self, images, depths=None
                          ) -> argmax_ops.Candidates:

@@ -95,6 +95,31 @@ def test_aot_batch_and_config_keying(setup):
     assert not det3.aot_stats[0].hit
 
 
+def test_aot_depth_variant(setup):
+    """The depth-pruned serving path also AOT-caches (and keys apart
+    from the plain program)."""
+    from partsbaseddetector_tpu.infer.detector import DepthPrune
+
+    model, im, aot_dir = setup
+    prune = DepthPrune(part_width_m=0.3, fx=500.0, tol=0.5)
+    depth = np.zeros(im.shape[:2], np.float32)   # unknown: never pruned
+
+    d1 = Detector(model, k_per_level=8, depth_prune=prune,
+                  aot_dir=aot_dir)
+    out1 = d1.detect_raw(im, depth=depth)
+    assert not d1.aot_stats[0].hit
+
+    d2 = Detector(model, k_per_level=8, depth_prune=prune,
+                  aot_dir=aot_dir)
+    out2 = d2.detect_raw(im, depth=depth)
+    assert d2.aot_stats[0].hit
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+    ref = Detector(model, k_per_level=8,
+                   depth_prune=prune).detect_raw(im, depth=depth)
+    assert _entries(out2) == _entries(ref)
+
+
 def test_aot_sharded_batch(setup):
     """AOT restart of the SHARDED serving program: the SPMD executable
     (data x filter mesh) serializes and a fresh BatchDetector loads it,
