@@ -416,7 +416,8 @@ class Detector:
         depth = jnp.asarray(depth)
         if self.aot_dir is not None:
             key = ("aot", "depth") + tuple(image.shape) \
-                + (str(image.dtype), str(depth.dtype))
+                + (str(image.dtype),) + tuple(depth.shape) \
+                + (str(depth.dtype),)
             if key not in self._compiled:
                 plan = self.plan_for(image.shape[:2])
                 single = self._program(plan, depth_cfg=self.depth_prune)

@@ -252,7 +252,11 @@ class MultiResDetector:
         ``depth_prune`` config, responses at implausible depths are
         masked before the DP (same semantics as Detector.detect_raw)."""
         image = jnp.asarray(image)
-        use_depth = depth is not None and self.depth_prune is not None
+        if depth is not None and self.depth_prune is None:
+            raise ValueError(
+                "depth map passed but this detector has no depth_prune "
+                "config (matches Detector behavior)")
+        use_depth = depth is not None
         key = (("depth",) if use_depth else ()) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = make_plan(image.shape[:2], self.model.binsize,

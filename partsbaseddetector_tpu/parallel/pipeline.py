@@ -111,6 +111,8 @@ class PipelinedDetector:
             # fused walk is a TPU (Mosaic) kernel
             walk_impl = ("pallas" if jax.default_backend() == "tpu"
                          else "xla")
+        if walk_impl not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
         packed = pack_model(model)
         # the front group only convolves: it needs the bank; the back
@@ -145,6 +147,10 @@ class PipelinedDetector:
         (H, W) metric depth map (requires depth_prune; pruning runs on
         the front group)."""
         image = jnp.asarray(image)
+        if depth is not None and self.depth_prune is None:
+            raise ValueError(
+                "depth map passed but this detector has no depth_prune "
+                "config (matches Detector behavior)")
         if depth is not None and self.depth_prune is not None:
             fn1, fn2, _ = self._get_fns(image.shape[:2], "depth")
             s1 = fn1(jax.device_put(image, self.front),
@@ -179,6 +185,10 @@ class PipelinedDetector:
 
         depths: optional per-frame metric depth maps (requires
         depth_prune); pruning runs on the front group per frame."""
+        if depths is not None and self.depth_prune is None:
+            raise ValueError(
+                "depth maps passed but this detector has no "
+                "depth_prune config (matches Detector behavior)")
         pending = []
         for i, f in enumerate(frames):
             image = jnp.asarray(f)

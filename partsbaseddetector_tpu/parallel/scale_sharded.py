@@ -254,7 +254,11 @@ class ScaleShardedDetector:
         ``depth_prune`` config, responses at implausible depths are
         masked before the DP (same semantics as Detector.detect_raw)."""
         image = jnp.asarray(image)
-        if depth is not None and self.depth_prune is not None:
+        if depth is not None:
+            if self.depth_prune is None:
+                raise ValueError(
+                    "depth map passed but this detector has no "
+                    "depth_prune config (matches Detector behavior)")
             fn = self._get_fn(image.shape[:2], "depth",
                               depth_cfg=self.depth_prune)
             return fn(image, self.packed, depth=jnp.asarray(depth))

@@ -96,23 +96,30 @@ def mirror_component(model: PartsModel, mirror_map: Sequence[int],
     mirror_map = list(mirror_map)
     if sorted(mirror_map) != list(range(P)):
         raise ValueError("mirror_map must be a permutation of parts")
+    for p in range(1, P):
+        # the reflection must commute with the tree: the mirror of a
+        # part's parent is the parent of the part's mirror — otherwise
+        # the per-edge bias blocks (sized by the parent's mixture
+        # count) would be read from the wrong source block
+        if mirror_map[comp.parts[p].parentid] != \
+                comp.parts[mirror_map[p]].parentid:
+            raise ValueError(
+                f"mirror_map is not tree-consistent at part {p}: "
+                "mirror(parent(p)) != parent(mirror(p))")
 
     out = copy.deepcopy(model)
     if name:
         out.name = name
-    nd, nb = len(out.defw), len(out.biasw)
     biasw = list(np.asarray(out.biasw).ravel())
     parts2: List[PartSpec] = []
     for p in range(P):
         src = comp.parts[mirror_map[p]]
         tmpl = comp.parts[p]
-        defid2 = []
         for m in range(src.nmixtures):
             w = np.asarray(out.defw[src.defid[m]]).copy()
             a = np.asarray(out.anchors[src.defid[m]]).copy()
             w[1] = -w[1]              # odd x term flips under reflection
             a[0] = -a[0]              # x anchor flips
-            defid2.append(nd + len(out.defw) - nd)
             out.defw.append(w)
             out.anchors.append(a)
         biasid2 = []

@@ -160,6 +160,19 @@ def test_two_component_native_cross_check(kind):
         assert exact >= 0.95 * total, (c, exact, total)
 
 
+def test_mirror_map_must_be_tree_consistent():
+    """A permutation that does not commute with the tree would read
+    pairwise-bias blocks from the wrong source; it must be rejected."""
+    model = synthetic.make_model(
+        name="chain3", nparts=3, nmixtures=2, root_nmixtures=1,
+        filter_size=3, norient=6, flen=14, binsize=4, interval=3,
+        parent=[-1, 0, 1], seed=2)
+    with pytest.raises(ValueError, match="tree-consistent"):
+        mirror_component(model, [0, 2, 1])
+    with pytest.raises(ValueError, match="permutation"):
+        mirror_component(model, [0, 0, 1])
+
+
 def test_merged_model_format_roundtrip(tmp_path):
     """A merged 2-component model survives every serialization format
     (the reference stores per-component indexers,
