@@ -359,7 +359,16 @@ struct NativeModel {
   std::vector<float> bias;            // (P, M, M) child x parent
   float root_bias = 0.f;
   std::vector<float> root_bias_v;     // optional per-root-mixture bias
+  // optional filter-id map (P*M): the reference keys its accumulated
+  // DP scores BY FILTER ID (ncscores via ComponentPart::score,
+  // ref include/Parts.hpp:165-168), so (part, mixture) slots sharing
+  // an id ALIAS their accumulation buffers.  Empty -> identity
+  // (p*nmix+m), the no-sharing case.
+  std::vector<int> fid;
 
+  int score_id(int p, int m) const {
+    return fid.empty() ? p * nmix + m : fid[(size_t)p * nmix + m];
+  }
   const float* filter(int p, int m) const {
     return filters.data() + ((size_t)p * nmix + m) * fsize * fsize * flen;
   }
@@ -585,28 +594,40 @@ void detect_candidates(const NativeModel& md, const Image& im,
     if (H == 0 || W == 0) continue;
     const int HW = H * W;
     const int P = md.nparts, M = md.nmix;
-    std::vector<std::vector<Plane>> acc(P);
+    // accumulated scores keyed by SCORE ID — the filter id when the
+    // model shares filters (ref ncscores, include/Parts.hpp:165-168
+    // via src/DynamicProgram.cpp:115-155), else (p, m).  Reads at a
+    // part's visit see whatever earlier parts accumulated into the
+    // shared buffer, exactly like the reference.
+    std::vector<Plane> accv((size_t)P * M);
+    std::vector<char> accset((size_t)P * M, 0);
+    const bool aliased = !md.fid.empty();
+    auto read_score = [&](int p, int mc) -> const Plane& {
+      const int id = md.score_id(p, mc);
+      return accset[id] ? accv[id] : pdfs[n][p * M + mc];
+    };
     // tables[p][mp]: child location/mixture chosen at each parent cell
     std::vector<std::vector<std::vector<int32_t>>> Ix(P), Iy(P), Ik(P);
     for (int p = P - 1; p > 0; --p) {
       std::vector<Plane> sdt(M);
       std::vector<std::vector<int32_t>> ix(M), iy(M);
       for (int mc = 0; mc < M; ++mc) {
-        const Plane& sin = acc[p].empty() ? pdfs[n][p * M + mc] : acc[p][mc];
+        const Plane& sin = read_score(p, mc);
         const float* w = md.defw.data() + ((size_t)p * M + mc) * 4;
         const int* an = md.anchor.data() + ((size_t)p * M + mc) * 2;
         dt2d(sin, w, an[0], an[1], sdt[mc], ix[mc], iy[mc]);
       }
       const int par = md.parent[p];
-      if (acc[par].empty()) {
-        acc[par].resize(M);
-        for (int m = 0; m < M; ++m) acc[par][m] = pdfs[n][par * M + m];
-      }
       Ix[p].assign(M, std::vector<int32_t>(HW));
       Iy[p].assign(M, std::vector<int32_t>(HW));
       Ik[p].assign(M, std::vector<int32_t>(HW));
       for (int mp = 0; mp < M; ++mp) {
-        Plane& dst = acc[par][mp];
+        const int id = md.score_id(par, mp);
+        if (!accset[id]) {
+          accv[id] = pdfs[n][par * M + mp];
+          accset[id] = 1;
+        }
+        Plane& dst = accv[id];
         for (int i = 0; i < HW; ++i) {
           float bv = -1e30f;
           int bk = 0;
@@ -621,8 +642,17 @@ void detect_candidates(const NativeModel& md, const Image& im,
           Iy[p][mp][i] = iy[bk][i];
         }
       }
-      acc[p].clear();
-      acc[p].shrink_to_fit();
+      if (!aliased) {
+        // without sharing, a part's buffer is never read again after
+        // its own visit — free early (memory); with sharing it may be
+        for (int mc = 0; mc < M; ++mc) {
+          const int id = md.score_id(p, mc);
+          if (accset[id]) {
+            accv[id] = Plane();
+            accset[id] = 0;
+          }
+        }
+      }
     }
     // root reduction (ref: src/DynamicProgram.cpp:162-171)
     std::vector<float> rootv(HW);
@@ -631,7 +661,7 @@ void detect_candidates(const NativeModel& md, const Image& im,
       float bv = -1e30f;
       int bm = 0;
       for (int m = 0; m < M; ++m) {
-        const Plane& pm = acc[0].empty() ? pdfs[n][m] : acc[0][m];
+        const Plane& pm = read_score(0, m);
         float v = pm.data[i] + md.rbias(m);
         if (v > bv) { bv = v; bm = m; }
       }
@@ -758,8 +788,12 @@ int pbd_nscales(int h, int w, int binsize, int interval) {
 
 // full detection with candidate extraction (for ctypes cross-checking
 // against the JAX detector).  image: HWC float32.  Model arrays as in
-// pbd_detect_stats plus a per-root-mixture bias vector.  Writes up to
-// `cap` candidates (scores desc within each level, levels ascending):
+// pbd_detect_stats plus a per-root-mixture bias vector.  fid: optional
+// (nparts*nmix) filter-id map — non-null keys the accumulated DP
+// scores by filter id, reproducing the reference's buffer ALIASING for
+// models with shared filters (include/Parts.hpp:165-168); null = no
+// sharing.  Writes up to `cap` candidates (scores desc within each
+// level, levels ascending):
 //   out_score[i], out_level[i], out_loc[i*P*3 + p*3 + {0,1,2}] = x, y, m
 // Returns the number written, or -1 on error.
 int pbd_detect_candidates(const float* image, int h, int w, int c,
@@ -768,7 +802,8 @@ int pbd_detect_candidates(const float* image, int h, int w, int c,
                           float thresh, const int* parent,
                           const float* filters, const float* defw,
                           const int* anchor, const float* bias,
-                          const float* root_bias, int k_per_level,
+                          const float* root_bias, const int* fid,
+                          int k_per_level,
                           float* out_score, int32_t* out_level,
                           int32_t* out_loc, int cap) {
   if (!image || !parent || !filters || !defw || !anchor || !bias ||
@@ -785,6 +820,13 @@ int pbd_detect_candidates(const float* image, int h, int w, int c,
   md.anchor.assign(anchor, anchor + (size_t)nparts * nmix * 2);
   md.bias.assign(bias, bias + (size_t)nparts * nmix * nmix);
   md.root_bias_v.assign(root_bias, root_bias + nmix);
+  if (fid) {
+    // ids must be compact (< nparts*nmix): the Python binding remaps
+    // global filter ids to a local dense space before the call
+    for (size_t i = 0; i < (size_t)nparts * nmix; ++i)
+      if (fid[i] < 0 || fid[i] >= nparts * nmix) return -1;
+    md.fid.assign(fid, fid + (size_t)nparts * nmix);
+  }
   pbd::Image im(h, w, c);
   std::memcpy(im.data.data(), image, sizeof(float) * (size_t)h * w * c);
   std::vector<pbd::NativeCandidate> cands;

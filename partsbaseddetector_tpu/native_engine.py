@@ -80,6 +80,7 @@ class NativeEngine:
             ctypes.POINTER(ctypes.c_int),                   # anchor
             ctypes.POINTER(ctypes.c_float),                 # bias
             ctypes.POINTER(ctypes.c_float),                 # root_bias
+            ctypes.POINTER(ctypes.c_int),                   # fid (or None)
             ctypes.c_int,                                   # k_per_level
             ctypes.POINTER(ctypes.c_float),                 # out_score
             ctypes.POINTER(ctypes.c_int32),                 # out_level
@@ -99,7 +100,12 @@ class NativeEngine:
 
         bias[p, mc, mp] = biasw[biasid[p][mc] + mp] (the reference's
         addressing, include/Parts.hpp:172-175 with src/DynamicProgram.
-        cpp:139); root_bias[m] = biasw[biasid[0][m]]."""
+        cpp:139); root_bias[m] = biasw[biasid[0][m]].
+
+        Also returns fid: the (P*M,) COMPACTED filter-id map when the
+        component shares filters across (part, mixture) slots (the
+        reference's score-buffer aliasing, include/Parts.hpp:165-168),
+        else None (no sharing — the engine keeps per-slot buffers)."""
         if model.ncomponents != 1:
             raise ValueError("native engine: single-component models only")
         comp = model.components[0]
@@ -122,10 +128,12 @@ class NativeEngine:
         anchor = np.zeros((P * M, 2), np.int32)
         bias = np.zeros((P, M, M), np.float32)
         root_bias = np.zeros(M, np.float32)
+        gids = np.zeros(P * M, np.int64)        # global filter ids
         for p, part in enumerate(comp.parts):
             parent[p] = max(part.parentid, 0)
             for m in range(M):
                 filters[p * M + m] = model.filters[part.filterid[m]]
+                gids[p * M + m] = part.filterid[m]
                 defw[p * M + m] = model.defw[part.defid[m]]
                 anc = np.asarray(model.anchors[part.defid[m]]).ravel()
                 if anc.size >= 3 and anc[2] != 0:
@@ -137,14 +145,21 @@ class NativeEngine:
                 else:
                     bias[p, m, :] = model.biasw[
                         part.biasid[m]:part.biasid[m] + M]
-        return parent, filters, defw, anchor, bias, root_bias, P, M, fsize
+        if len(set(gids.tolist())) == P * M:
+            fid = None                          # no sharing
+        else:
+            # compact global ids to [0, P*M) for the native acc table
+            _, fid = np.unique(gids, return_inverse=True)
+            fid = fid.astype(np.int32)
+        return (parent, filters, defw, anchor, bias, root_bias, fid,
+                P, M, fsize)
 
     def detect(self, image: np.ndarray, model: PartsModel,
                k_per_level: int = 64) -> List[NativeCandidate]:
         """Run the native pipeline; returns candidates above
         model.thresh, grouped by level (ascending), scores descending
         within each level."""
-        (parent, filters, defw, anchor, bias, root_bias,
+        (parent, filters, defw, anchor, bias, root_bias, fid,
          P, M, fsize) = self.model_arrays(model)
         img = np.ascontiguousarray(image, np.float32)
         if img.ndim == 2:
@@ -172,6 +187,7 @@ class NativeEngine:
             fp(np.ascontiguousarray(defw)),
             ip(np.ascontiguousarray(anchor)),
             fp(np.ascontiguousarray(bias)), fp(root_bias),
+            None if fid is None else ip(np.ascontiguousarray(fid)),
             int(k_per_level), fp(out_score), i32p(out_level),
             i32p(out_loc), cap)
         if n < 0:

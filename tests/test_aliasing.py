@@ -120,6 +120,40 @@ def test_aliased_detector_matches_oracle(seed):
     assert abs(len(dets) - len(ref)) <= max(1, int(0.1 * len(ref)))
 
 
+def test_aliased_native_cross_check():
+    """Independent-engine check of the buffer-aliasing semantics: the
+    native C++ engine's filter-keyed accumulator (envelope DT,
+    reference algorithm structure) must reproduce the JAX filter-keyed
+    scan's candidate sets on a genuinely-aliased model."""
+    from partsbaseddetector_tpu import native_engine as ne
+    try:
+        eng = ne.NativeEngine()
+    except (RuntimeError, OSError) as e:
+        pytest.skip(f"native engine unavailable: {e}")
+
+    model = aliased_chain()
+    model.thresh = -1e9
+    rng = np.random.default_rng(31)
+    im = (rng.random((96, 128, 3)) * 255).astype(np.float32)
+
+    native = eng.detect(im, model, k_per_level=8)
+    dets = Detector(model, k_per_level=8, dp_split=1).detect(im)
+
+    nat = {(n.level, int(n.loc[0, 0]), int(n.loc[0, 1])): n
+           for n in native}
+    jx = {(d.level, int(d.locations[0, 0]), int(d.locations[0, 1])): d
+          for d in dets}
+    common = set(nat) & set(jx)
+    assert len(common) >= 0.9 * len(nat), (len(common), len(nat))
+    exact = total = 0
+    for key in common:
+        n, d = nat[key], jx[key]
+        assert abs(n.score - d.score) < 1e-3
+        total += n.loc.shape[0]
+        exact += int(((n.loc == d.locations).all(axis=1)).sum())
+    assert exact >= 0.95 * total, (exact, total)
+
+
 def test_aliased_batch_detector_matches_single():
     """The filter-keyed accumulator scan under the sharded batch path
     (vmap + SPMD over a (2,2) mesh) reproduces the single-chip aliased
