@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                          "108-118)")
     ap.add_argument("--platform", default=None,
                     help="cpu | tpu (default: $PBD_PLATFORM or image default)")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="AOT executable cache dir: restarts "
+                         "deserialize the compiled program instead of "
+                         "recompiling (SERVING.md)")
     args = ap.parse_args(argv)
 
     from partsbaseddetector_tpu.utils.platform import ensure_platform
@@ -73,7 +77,8 @@ def main(argv=None) -> int:
         print("multi-resolution model: using MultiResDetector")
     else:
         det = Detector(model, k_per_level=args.k_per_level,
-                       conv_engine=args.conv_engine)
+                       conv_engine=args.conv_engine,
+                       aot_dir=args.aot)
     t0 = time.time()
     cands = det.detect_raw(im)
     if args.nms is not None:
