@@ -127,26 +127,6 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
         return jax.lax.dynamic_slice_in_dim(
             img, jnp.clip(jnp.asarray(i, jnp.int32), 0, W - 1), 1, 1)
 
-    def shift_rows(img, s):
-        """img[y + s] with zero fill (patched by the where below)."""
-        if s >= 0:
-            return jnp.concatenate(
-                [img[s:], jnp.zeros((s,) + img.shape[1:], img.dtype)],
-                axis=0)
-        return jnp.concatenate(
-            [jnp.zeros((-s,) + img.shape[1:], img.dtype), img[:s]],
-            axis=0)
-
-    def shift_cols(img, s):
-        if s >= 0:
-            return jnp.concatenate(
-                [img[:, s:], jnp.zeros(
-                    (img.shape[0], s) + img.shape[2:], img.dtype)],
-                axis=1)
-        return jnp.concatenate(
-            [jnp.zeros((img.shape[0], -s) + img.shape[2:], img.dtype),
-             img[:, :s]], axis=1)
-
     h_t = jnp.asarray(h, jnp.int32)
     w_t = jnp.asarray(w, jnp.int32)
     ymask = (yy <= h_t - 3)[:, None, None]
@@ -157,12 +137,19 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
     # row-clamped image
     xr = jnp.where((yy <= h_t - 2)[:, None, None], x, row_at(x, h_t - 2))
 
+    # central differences via ONE zero-pad + two slices per direction:
+    # slices fuse into the subtraction (a concatenate-based shift
+    # materialized two full-image copies per direction — measured in
+    # the copy budget of the compiled batch program, PERF.md §copies)
+    xc_pad = jnp.pad(xc, ((1, 1), (0, 0), (0, 0)))
+    xr_pad = jnp.pad(xr, ((0, 0), (1, 1), (0, 0)))
+
     # dy = xc[min(y,h-2)+1] - xc[min(y,h-2)-1]
-    dy_main = shift_rows(xc, 1) - shift_rows(xc, -1)
+    dy_main = xc_pad[2:] - xc_pad[:-2]
     dy_edge = row_at(xc, h_t - 1) - row_at(xc, h_t - 3)
     dy = jnp.where(ymask, dy_main, dy_edge)
     # dx = xr[:, min(x,w-2)+1] - xr[:, min(x,w-2)-1]
-    dx_main = shift_cols(xr, 1) - shift_cols(xr, -1)
+    dx_main = xr_pad[:, 2:] - xr_pad[:, :-2]
     dx_edge = col_at(xr, w_t - 1) - col_at(xr, w_t - 3)
     dx = jnp.where(xmask, dx_main, dx_edge)
     v2 = dx * dx + dy * dy
@@ -188,16 +175,17 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
     vv = jnp.asarray(_VV[:half], dtype)
     dots = dxb[..., None] * uu + dyb[..., None] * vv      # (H, W, half)
     # candidates in the reference's tie order d0, -d0, d1, -d1, ...
+    # — binning runs ENTIRELY in this slot order (the per-plane tent
+    # products commute with the channel permutation), and the tiny
+    # (bh, bw, O) histogram is permuted to orientation channels at the
+    # end; permuting the full-resolution mask here cost a materialized
+    # (H, W, 2, half) transpose per level (PERF.md §copies)
     cand = jnp.stack([dots, -dots], axis=-1).reshape(
         dots.shape[:2] + (norient,))
     bestv = jnp.max(cand, axis=-1, keepdims=True)
     eq = cand == bestv
     first = eq & (jnp.cumsum(eq, axis=-1) == 1)
-    # slot k maps to orientation k//2 + half*(k%2): permute the mask
-    # from tie-order slots to orientation channels (static transpose)
-    first = jnp.swapaxes(first.reshape(first.shape[:2] + (half, 2)),
-                         -1, -2).reshape(first.shape[:2] + (norient,))
-    # zero/negative best -> orientation 0 (reference keeps best_o = 0)
+    # zero/negative best -> orientation 0 == slot 0 (+d0)
     onehot0 = jnp.concatenate(
         [jnp.ones(first.shape[:2] + (1,), bool),
          jnp.zeros(first.shape[:2] + (norient - 1,), bool)], axis=-1)
@@ -211,8 +199,13 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
     mag_o = mag[..., None] * first.astype(dtype)           # (H, W, O)
     By = _tent_matrix(bh_pad, H, binsize, bh, vis_h, h_i, dtype)
     Bx = _tent_matrix(bw_pad, W, binsize, bw, vis_w, w_i, dtype)
-    hist = jnp.einsum("ch,hwo,dw->cdo", By, mag_o, Bx,
-                      precision=PRECISION)                 # (bh, bw, O)
+    hist_slots = jnp.einsum("ch,hwo,dw->cdo", By, mag_o, Bx,
+                            precision=PRECISION)           # (C, D, O)
+    # slots -> orientation channels on the SMALL histogram:
+    # orientation o reads slot 2o (o < half) or 2(o-half)+1
+    perm = np.concatenate([np.arange(half) * 2,
+                           np.arange(half) * 2 + 1])
+    hist = hist_slots[:, :, perm]                          # (bh, bw, O)
 
     # ---- block energy (reference: src/HOGFeatures.cpp:270-283)
     norm = jnp.sum((hist[..., :half] + hist[..., half:norient]) ** 2, -1)
