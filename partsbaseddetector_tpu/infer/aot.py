@@ -33,6 +33,31 @@ from typing import Any, Optional, Tuple
 import jax
 
 
+_SRC_HASH: Optional[str] = None
+
+
+def _source_hash() -> str:
+    """Hash of the package's .py sources: a code change that alters
+    any program must MISS the executable cache (serving a stale
+    executable compiled from old code is the one failure mode a silent
+    fallback cannot catch — the load would succeed).  Computed once
+    per process (~0.5 MB of source)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import glob
+
+        import partsbaseddetector_tpu as pkg
+        root = os.path.dirname(os.path.abspath(pkg.__file__))
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                  recursive=True)):
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
 def _tree_signature(tree: Any) -> str:
     """Shape/dtype signature of every leaf + the treedef (static fields
     of registered dataclasses land in the treedef repr)."""
@@ -49,6 +74,7 @@ def cache_key(program_config: dict, example_args: Tuple[Any, ...],
     parts = {
         "jax": jax.__version__,
         "jaxlib": getattr(jax, "jaxlib_version", ""),
+        "src": _source_hash(),
         "backend": jax.default_backend(),
         "devices": [f"{d.platform}:{d.device_kind}" for d in devices],
         "config": {k: str(v) for k, v in sorted(
