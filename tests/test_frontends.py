@@ -131,6 +131,32 @@ def test_ecto_cell_lifecycle(model):
     assert np.isfinite(pr.score)
 
 
+def test_ecto_cell_multicomponent():
+    """The ORK cell serves multi-component (mergemodels-lineage) models
+    end to end — the reference's VOC-style deployments."""
+    from partsbaseddetector_tpu.frontends import PartsBasedDetectorCell
+    from partsbaseddetector_tpu.models import synthetic
+    from partsbaseddetector_tpu.train.build import merge_models
+
+    model = merge_models([synthetic.tiny(seed=1),
+                          synthetic.tiny(seed=2)], name="mc")
+    model.thresh = -1e9
+    params, inputs, outputs = {}, {}, {}
+    PartsBasedDetectorCell.declare_params(params)
+    PartsBasedDetectorCell.declare_io(params, inputs, outputs)
+    params["model_file"] = model
+    cell = PartsBasedDetectorCell()
+    cell.configure(params, inputs, outputs)
+
+    rng = np.random.default_rng(5)
+    inputs["image"] = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    inputs["depth"] = np.full((64, 64), 1500, np.uint16)
+    inputs["K"] = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    inputs["input_cloud"] = rng.random((200, 3)).astype(np.float32) * 2
+    assert cell.process(inputs, outputs) == 0
+    assert outputs["pose_results"]
+
+
 def test_missing_model_file_raises():
     from partsbaseddetector_tpu.frontends import PartsBasedDetectorCell
 
