@@ -163,7 +163,8 @@ def _walk_slot(rootv, rooti, scores_slot, tmps_slot,
 def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
                       k_per_level: int,
                       pdfs_transform=None,
-                      depth=None, depth_cfg=None
+                      depth=None, depth_cfg=None,
+                      conv_engine: str = "spatial"
                       ) -> argmax_ops.Candidates:
     """pdfs_transform: optional fn(pdfs (L, fh, fw, F)) -> pdfs, applied
     per bucket — the seam scale-axis sharding uses to constrain each
@@ -173,10 +174,14 @@ def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
 
     depth + depth_cfg: optional (H, W) metric depth map and DepthPrune
     config — per-bucket response pruning before the DP, identical to
-    the single-resolution path (infer/detector._detect_program)."""
+    the single-resolution path (infer/detector._detect_program).
+
+    conv_engine: stage-2 scoring engine ("spatial" | "fft"), same knob
+    as the single-resolution facade."""
     from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
 
-    per_bucket = pyramid_pdfs(image, packed, plan)
+    per_bucket = pyramid_pdfs(image, packed, plan,
+                              conv_engine=conv_engine)
     if depth is not None and depth_cfg is not None:
         per_bucket = [(b, jnp.where(
             _depth_bad_mask(depth, b, depth_cfg)[:, :, :, None],
@@ -229,7 +234,12 @@ class MultiResDetector:
     """
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
-                 depth_prune=None):
+                 depth_prune=None, conv_engine: str = "spatial"):
+        from partsbaseddetector_tpu.infer.detector import CONV_ENGINES
+        if conv_engine not in CONV_ENGINES:
+            raise ValueError(f"conv_engine {conv_engine!r}; one of "
+                             f"{sorted(CONV_ENGINES)}")
+        self.conv_engine = conv_engine
         self.model = model
         self.packed = pack_model(model)
         if any(c.aliased for c in self.packed.components):
@@ -261,7 +271,8 @@ class MultiResDetector:
         if key not in self._compiled:
             plan = make_plan(image.shape[:2], self.model.binsize,
                              self.model.interval)
-            kw = dict(plan=plan, k_per_level=self.k_per_level)
+            kw = dict(plan=plan, k_per_level=self.k_per_level,
+                      conv_engine=self.conv_engine)
             if use_depth:
                 kw["depth_cfg"] = self.depth_prune
             fn = jax.jit(partial(_multires_program, **kw))

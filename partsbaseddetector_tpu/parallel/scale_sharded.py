@@ -236,6 +236,7 @@ class ScaleShardedDetector:
                 fn = jax.jit(partial(
                     _multires_program, plan=plan,
                     k_per_level=self.k_per_level,
+                    conv_engine=self.conv_engine,
                     pdfs_transform=_reshard,
                     **static))
             else:

@@ -118,7 +118,8 @@ class BatchDetector:
                     _multires_program
 
                 single = _partial(_multires_program, plan=plan,
-                                  k_per_level=self.k_per_level)
+                                  k_per_level=self.k_per_level,
+                                  conv_engine=self.conv_engine)
                 if variant == "depth":
                     if self.depth_prune is None:
                         raise ValueError("construct BatchDetector with "

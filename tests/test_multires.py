@@ -61,6 +61,25 @@ def test_multires_tpu_matches_oracle(rng):
     assert tuple(got[0].locations[0]) == tuple(ref[0].locations[0])
 
 
+def test_multires_fft_engine_matches_spatial(rng):
+    """The stage-2 engine knob on the multires facade (round-4 gap:
+    _multires_program hardcoded the spatial engine)."""
+    from partsbaseddetector_tpu.infer.multires import MultiResDetector
+
+    m = synthetic.tiny_multires(seed=5)
+    m.thresh = -1e9
+    im = rng.random((64, 64)) * 255
+    a = MultiResDetector(m, k_per_level=8).detect_raw(im)
+    b = MultiResDetector(m, k_per_level=8,
+                         conv_engine="fft").detect_raw(im)
+    np.testing.assert_array_equal(np.asarray(a.valid),
+                                  np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.score),
+                               np.asarray(b.score), atol=2e-3)
+    with pytest.raises(ValueError, match="conv_engine"):
+        MultiResDetector(m, conv_engine="wavelet")
+
+
 def test_multires_tpu_ds0_matches_plain_detector(rng):
     """On a single-resolution model the multires TPU path reproduces the
     standard Detector's values."""
