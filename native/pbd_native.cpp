@@ -571,16 +571,27 @@ void detect_candidates(const NativeModel& md, const Image& im,
   for (int n = 0; n < nscales; ++n)
     feats[n] = hog(levels[n], md.binsize, md.norient);
 
+  // conv once per unique SCORE ID: shared-filter slots have identical
+  // filter content, so their responses are computed once, like the
+  // reference's responses-by-filter-id (include/Parts.hpp:165-168)
   const int F = md.nparts * md.nmix;
+  std::vector<int> rep(F, -1);        // id -> representative slot
+  for (int s = 0; s < F; ++s) {
+    const int id = md.score_id(s / md.nmix, s % md.nmix);
+    if (rep[id] < 0) rep[id] = s;
+  }
   std::vector<std::vector<Plane>> pdfs(nscales, std::vector<Plane>(F));
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
-  for (int f = 0; f < F; ++f)
+  for (int f = 0; f < F; ++f) {
+    if (rep[f] < 0) continue;
     for (int n = 0; n < nscales; ++n)
-      pdfs[n][f] = correlate(feats[n], md.filters.data() +
-                                 (size_t)f * md.fsize * md.fsize * md.flen,
+      pdfs[n][f] = correlate(feats[n],
+                             md.filters.data() + (size_t)rep[f] *
+                                 md.fsize * md.fsize * md.flen,
                              md.fsize, md.fsize);
+  }
 
   // ---- DP with stored Ix/Iy/Ik tables + per-scale top-k backtracking
   // (ref: src/DynamicProgram.cpp:80-87 OMP over scales; tables at
@@ -604,7 +615,7 @@ void detect_candidates(const NativeModel& md, const Image& im,
     const bool aliased = !md.fid.empty();
     auto read_score = [&](int p, int mc) -> const Plane& {
       const int id = md.score_id(p, mc);
-      return accset[id] ? accv[id] : pdfs[n][p * M + mc];
+      return accset[id] ? accv[id] : pdfs[n][id];
     };
     // tables[p][mp]: child location/mixture chosen at each parent cell
     std::vector<std::vector<std::vector<int32_t>>> Ix(P), Iy(P), Ik(P);
@@ -624,7 +635,7 @@ void detect_candidates(const NativeModel& md, const Image& im,
       for (int mp = 0; mp < M; ++mp) {
         const int id = md.score_id(par, mp);
         if (!accset[id]) {
-          accv[id] = pdfs[n][par * M + mp];
+          accv[id] = pdfs[n][id];
           accset[id] = 1;
         }
         Plane& dst = accv[id];

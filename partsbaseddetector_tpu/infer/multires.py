@@ -234,12 +234,18 @@ class MultiResDetector:
     """
 
     def __init__(self, model: PartsModel, k_per_level: int = 64,
-                 depth_prune=None, conv_engine: str = "spatial"):
+                 depth_prune=None, conv_engine: str = "spatial",
+                 aot_dir=None):
         from partsbaseddetector_tpu.infer.detector import CONV_ENGINES
         if conv_engine not in CONV_ENGINES:
             raise ValueError(f"conv_engine {conv_engine!r}; one of "
                              f"{sorted(CONV_ENGINES)}")
         self.conv_engine = conv_engine
+        # AOT executable cache (infer/aot.py), same semantics as
+        # Detector(aot_dir=...): restarts deserialize instead of
+        # recompiling; artifacts keyed by program config + source hash
+        self.aot_dir = aot_dir
+        self.aot_stats = []
         self.model = model
         self.packed = pack_model(model)
         if any(c.aliased for c in self.packed.components):
@@ -267,7 +273,13 @@ class MultiResDetector:
                 "depth map passed but this detector has no depth_prune "
                 "config (matches Detector behavior)")
         use_depth = depth is not None
-        key = (("depth",) if use_depth else ()) + tuple(image.shape[:2])
+        key = (("depth",) if use_depth else ()) + tuple(image.shape)
+        if self.aot_dir is not None:
+            # Compiled executables are (shape, dtype)-exact
+            key += (str(image.dtype),)
+            if use_depth:
+                depth = jnp.asarray(depth)
+                key += tuple(depth.shape) + (str(depth.dtype),)
         if key not in self._compiled:
             plan = make_plan(image.shape[:2], self.model.binsize,
                              self.model.interval)
@@ -275,9 +287,31 @@ class MultiResDetector:
                       conv_engine=self.conv_engine)
             if use_depth:
                 kw["depth_cfg"] = self.depth_prune
-            fn = jax.jit(partial(_multires_program, **kw))
+            if self.aot_dir is not None:
+                from partsbaseddetector_tpu.infer import aot as aot_mod
+                single = partial(_multires_program, **kw)
+                if use_depth:
+                    prog = (lambda image, packed, depth:
+                            single(image, packed, depth=depth))
+                    args = (image, self.packed, jnp.asarray(depth))
+                else:
+                    prog = single
+                    args = (image, self.packed)
+                cfg = dict(kind="multires",
+                           k_per_level=self.k_per_level,
+                           conv_engine=self.conv_engine,
+                           depth="depth" if use_depth else "")
+                stats = aot_mod.AotStats()
+                fn = aot_mod.get_or_compile(jax.jit(prog), args, cfg,
+                                            self.aot_dir, stats)
+                self.aot_stats.append(stats)
+            else:
+                fn = jax.jit(partial(_multires_program, **kw))
             self._compiled[key] = fn
         if use_depth:
+            if self.aot_dir is not None:
+                return self._compiled[key](image, self.packed,
+                                           jnp.asarray(depth))
             return self._compiled[key](image, self.packed,
                                        depth=jnp.asarray(depth))
         return self._compiled[key](image, self.packed)

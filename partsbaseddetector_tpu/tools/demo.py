@@ -73,7 +73,9 @@ def main(argv=None) -> int:
 
     if model.max_scale() > 0:
         from partsbaseddetector_tpu.infer.multires import MultiResDetector
-        det = MultiResDetector(model, k_per_level=args.k_per_level)
+        det = MultiResDetector(model, k_per_level=args.k_per_level,
+                               conv_engine=args.conv_engine,
+                               aot_dir=args.aot)
         print("multi-resolution model: using MultiResDetector")
     else:
         det = Detector(model, k_per_level=args.k_per_level,

@@ -143,6 +143,7 @@ def test_aliased_native_cross_check():
            for n in native}
     jx = {(d.level, int(d.locations[0, 0]), int(d.locations[0, 1])): d
           for d in dets}
+    assert len(nat) > 8, "native engine returned too few candidates"
     common = set(nat) & set(jx)
     assert len(common) >= 0.9 * len(nat), (len(common), len(nat))
     exact = total = 0

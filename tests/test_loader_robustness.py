@@ -39,7 +39,7 @@ def test_garbage_xml_fails_cleanly(tmp_path):
     p.write_text("<opencv_storage><name>x</name></opencv_storage>")
     with pytest.raises(Exception) as ei:
         load_any(str(p))
-    assert not isinstance(ei.value, AttributeError) or True
+    assert not isinstance(ei.value, AttributeError)
 
 
 def test_index_out_of_range_rejected(tmp_path):
