@@ -114,9 +114,13 @@ def measure_tpu_fps() -> dict:
         assert all(s.shape == scores[0].shape for s in scores)
         return (time.time() - t0) / FRAMES
     run_stream()                      # warm
-    # best-of-5: the tunnel's host<->device throughput jitters
-    # run-to-run (PERF.md §transfer-bound); compute is stable
-    best = min(run_stream() for _ in range(5))
+    # 5 samples: the tunnel's host<->device throughput jitters
+    # run-to-run (PERF.md §transfer-bound); compute is stable.  The
+    # headline uses the best (isolates the program from tunnel jitter);
+    # median/min/max ride in the detail so the distribution is visible.
+    samples = sorted(run_stream() for _ in range(5))
+    best = samples[0]
+    median = samples[len(samples) // 2]
 
     # ---- AOT restart measurement, AFTER the jit timings so compile_s
     # above stays a true cold-compile figure (the AOT block would warm
@@ -139,6 +143,16 @@ def measure_tpu_fps() -> dict:
     return {
         "sec_per_frame": best,
         "fps": 1.0 / best,
+        # distribution of the 5 stream samples (sec/frame): the
+        # headline is the best; median/min/max expose the tunnel
+        # jitter the best-of policy samples (VERDICT r4 weak #3)
+        "stream_samples": {
+            "median_sec_per_frame": median,
+            "median_fps": 1.0 / median,
+            "min_sec_per_frame": samples[0],
+            "max_sec_per_frame": samples[-1],
+            "n": len(samples),
+        },
         "latency_s": min(lat),
         "compile_s": compile_s,
         "compile_single_s": compile_single_s,

@@ -17,9 +17,16 @@ serves every same-shaped model.  Keys cover everything else that
 changes the program: jax/jaxlib versions, backend + device kind +
 device count, the packed model's array shapes/dtypes + static fields,
 and the program config.  A load failure of any kind (version skew,
-different chip, corrupt file) falls back silently to the normal
-compile path — the cache is an optimization, never a correctness
-dependency.
+different chip, corrupt file) falls back to the normal compile path —
+the cache is an optimization, never a correctness dependency — and the
+failure reason is recorded in AotStats.fallback_reason so operational
+errors (permissions, disk) surface instead of hiding behind silent
+repeated recompiles.
+
+SECURITY: artifacts are raw pickles (the serialized-executable payload
+jax hands back).  ``aot_dir`` must be a TRUSTED, PRIVATE directory —
+loading an artifact written by an untrusted party is arbitrary code
+execution, exactly like .jax_cache or any pickle-based model store.
 """
 
 from __future__ import annotations
@@ -89,13 +96,18 @@ def _path(aot_dir: str, key: str) -> str:
     return os.path.join(aot_dir, f"aot_{key}.bin")
 
 
-def load(aot_dir: str, key: str, devices=None):
+def load(aot_dir: str, key: str, devices=None,
+         stats: Optional["AotStats"] = None):
     """Deserialize a cached executable, or None (missing/unloadable).
 
     devices: execution devices to load onto; defaults to the first
     device (the single-chip Detector's placement).  Without this,
     deserialization assumes ALL client devices — wrong for a
-    single-device program on a multi-device host."""
+    single-device program on a multi-device host.
+
+    aot_dir must be TRUSTED (pickle payloads — see module docstring).
+    Unloadable artifacts fall back to None with the reason recorded in
+    ``stats.fallback_reason``."""
     import pickle
 
     from jax.experimental import serialize_executable as se
@@ -109,7 +121,9 @@ def load(aot_dir: str, key: str, devices=None):
             payload, in_tree, out_tree = pickle.load(f)
         return se.deserialize_and_load(payload, in_tree, out_tree,
                                        execution_devices=devices)
-    except Exception:       # version/device skew, corruption: recompile
+    except Exception as e:  # version/device skew, corruption: recompile
+        if stats is not None:
+            stats.fallback_reason = f"{type(e).__name__}: {e}"
         return None
 
 
@@ -140,6 +154,10 @@ class AotStats:
     hit: bool = False
     compile_s: float = 0.0
     load_s: float = 0.0
+    #: why a present artifact could not be loaded ("" = no fallback):
+    #: distinguishes operational errors (permissions, disk, corruption)
+    #: from a plain cache miss
+    fallback_reason: str = ""
 
 
 def get_or_compile(jitted, example_args: Tuple[Any, ...],
@@ -162,7 +180,7 @@ def get_or_compile(jitted, example_args: Tuple[Any, ...],
         return jitted
     key = cache_key(program_config, example_args, devices=devices)
     t0 = time.time()
-    cached = load(aot_dir, key, devices=devices)
+    cached = load(aot_dir, key, devices=devices, stats=stats)
     if cached is not None:
         if stats is not None:
             stats.key, stats.hit = key, True

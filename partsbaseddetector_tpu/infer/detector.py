@@ -345,6 +345,11 @@ class Detector:
                    walk_impl=self.walk_impl, variant=variant,
                    plan=plan.signature()
                    if hasattr(plan, "signature") else str(key))
+        if self.depth_prune is not None:
+            # DepthPrune values are baked into the compiled program as
+            # constants (_depth_bad_mask) — a different config must MISS
+            # the executable cache, not load a stale-pruning program
+            cfg["depth_prune"] = dataclasses.asdict(self.depth_prune)
         stats = aot_mod.AotStats()
         fn = aot_mod.get_or_compile(jax.jit(program), example_args,
                                     cfg, self.aot_dir, stats)

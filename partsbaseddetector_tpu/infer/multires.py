@@ -301,6 +301,11 @@ class MultiResDetector:
                            k_per_level=self.k_per_level,
                            conv_engine=self.conv_engine,
                            depth="depth" if use_depth else "")
+                if self.depth_prune is not None:
+                    # pruning constants are baked into the executable —
+                    # key them so a config change misses the cache
+                    import dataclasses as _dc
+                    cfg["depth_prune"] = _dc.asdict(self.depth_prune)
                 stats = aot_mod.AotStats()
                 fn = aot_mod.get_or_compile(jax.jit(prog), args, cfg,
                                             self.aot_dir, stats)

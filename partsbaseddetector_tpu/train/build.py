@@ -124,10 +124,15 @@ def mirror_component(model: PartsModel, mirror_map: Sequence[int],
             out.anchors.append(a)
         biasid2 = []
         if p == 0:
-            bid = len(biasw)
-            biasw.append(float(np.asarray(out.biasw).ravel()[
-                tmpl.biasid[0]]))
-            biasid2 = [bid] * src.nmixtures
+            # faithful mirror: copy the root bias PER MIXTURE from the
+            # source part (distinct per-mixture root biases survive the
+            # mirror; the packed detector itself reads only
+            # biasid[0][0], matching src/DynamicProgram.cpp:162-171)
+            src_root = np.asarray(model.biasw).ravel()
+            for m in range(src.nmixtures):
+                bid = len(biasw)
+                biasw.append(float(src_root[src.biasid[m]]))
+                biasid2.append(bid)
         else:
             pn = comp.parts[mirror_map[tmpl.parentid]].nmixtures
             for m in range(src.nmixtures):
