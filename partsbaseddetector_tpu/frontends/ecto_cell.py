@@ -53,6 +53,18 @@ class PartsBasedDetectorCell:
         params.setdefault("remove_planes", False)
         params.setdefault("model_file", None)    # required
         params.setdefault("max_overlap", 0.1)
+        # detector-facade knobs (the full surface the facade grew —
+        # None = facade default), reachable from ORK configs exactly
+        # like the reference exposes its knobs through every frontend
+        # (cells/detect.cpp:115-126)
+        params.setdefault("k_per_level", None)
+        params.setdefault("conv_engine", None)   # "spatial" | "fft"
+        params.setdefault("walk_impl", None)
+        params.setdefault("dp_split", None)
+        params.setdefault("compose", None)
+        params.setdefault("aot_dir", None)       # executable cache
+        params.setdefault("mesh", None)          # [data, filter] sizes
+        params.setdefault("depth_prune", None)   # {part_width_m,fx,tol}
 
     @staticmethod
     def declare_io(params: dict, inputs: dict, outputs: dict) -> None:
@@ -76,6 +88,27 @@ class PartsBasedDetectorCell:
         self.visualize = bool(params.get("visualize", False))
         self.remove_planes = bool(params.get("remove_planes", False))
         self.max_overlap = float(params.get("max_overlap", 0.1))
+        # detector-facade knobs forwarded to StreamingDetector
+        kw = {}
+        for k in ("k_per_level", "dp_split"):
+            if params.get(k) is not None:
+                kw[k] = int(params[k])
+        for k in ("conv_engine", "walk_impl", "compose", "aot_dir"):
+            if params.get(k) is not None:
+                kw[k] = str(params[k])
+        if params.get("depth_prune") is not None:
+            from partsbaseddetector_tpu.infer.detector import DepthPrune
+            dp = params["depth_prune"]
+            kw["depth_prune"] = (dp if isinstance(dp, DepthPrune)
+                                 else DepthPrune(**dp))
+        if params.get("mesh") is not None:
+            m = params["mesh"]
+            if not hasattr(m, "devices"):
+                from partsbaseddetector_tpu.parallel.mesh import \
+                    make_mesh
+                m = make_mesh(tuple(int(x) for x in m))
+            kw["mesh"] = m
+        self._detector_kwargs = kw
         self._stream = None
 
     def _get_stream(self, K, imsize) -> StreamingDetector:
@@ -88,7 +121,8 @@ class PartsBasedDetectorCell:
             self._stream = StreamingDetector(
                 self.model, camera=camera,
                 max_overlap=self.max_overlap,
-                remove_planes=self.remove_planes)
+                remove_planes=self.remove_planes,
+                **self._detector_kwargs)
             # the cell always produces pose_results; visualization only
             # when asked (detect.cpp:241-247)
             self._stream.on("poses", lambda _: None)

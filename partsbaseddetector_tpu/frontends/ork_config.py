@@ -25,10 +25,15 @@ import yaml
 
 from partsbaseddetector_tpu.frontends.ecto_cell import PartsBasedDetectorCell
 
-#: parameters cells/detect.cpp declares (reference: cells/detect.cpp:115-126);
+#: parameters cells/detect.cpp declares (reference: cells/detect.cpp:115-126)
+#: plus this framework's detector-facade knobs (ecto_cell.declare_params);
 #: anything else under ``extra`` is passed through untouched.
 DECLARED_PARAMS = ("visualize", "remove_planes", "model_file",
-                   "max_overlap")
+                   "max_overlap",
+                   # facade knobs (frontends reach the full framework:
+                   # AOT restarts, multires routing, mesh serving)
+                   "k_per_level", "conv_engine", "walk_impl", "dp_split",
+                   "compose", "aot_dir", "mesh", "depth_prune")
 
 
 @dataclasses.dataclass

@@ -62,14 +62,22 @@ class PartsBasedDetectorNode:
     >>> node.depth_image_callback(rgb, depth, cloud)   # per frame
     """
 
-    def __init__(self, model: PartsModel, transport,
+    def __init__(self, model, transport,
                  camera: Optional[CameraModel] = None,
                  ns: str = "/pbd/", name: Optional[str] = None,
-                 remove_planes: bool = False, max_overlap: float = 0.1):
+                 remove_planes: bool = False, max_overlap: float = 0.1,
+                 **detector_kwargs):
+        """model: a PartsModel (routed to the right backend — multires
+        models, mesh serving, AOT restarts — by StreamingDetector) or a
+        prebuilt detector backend.  detector_kwargs: passed through to
+        StreamingDetector (k_per_level, depth_prune, mesh, conv_engine,
+        walk_impl, dp_split, compose, aot_dir) — the full facade
+        surface, like the reference node's param set wraps its facade
+        (ros/Node.cpp:72-105)."""
         self.name = name or model.name
         self.stream = StreamingDetector(
             model, camera=camera, max_overlap=max_overlap,
-            remove_planes=remove_planes)
+            remove_planes=remove_planes, **detector_kwargs)
         prefix = ns + self.name + "/"
         self._pubs = {sink: transport.advertise(prefix + suffix, kind)
                       for sink, (suffix, kind) in TOPICS.items()}
@@ -177,18 +185,43 @@ class PartsBasedDetectorNode:
         reference's init() flow (ros/Node.cpp:64-105: read ``model``,
         load by extension, read ``remove_planes``, distributeModel).
         Supported keys: model (path, required), remove_planes,
-        max_overlap, ns, name."""
+        max_overlap, ns, name — plus the full detector-facade surface:
+        k_per_level (int), conv_engine ("spatial"|"fft"), walk_impl,
+        dp_split (int), compose, aot_dir (executable-cache directory
+        for deterministic restarts), mesh ([data, filter] axis sizes —
+        serve on a device mesh), and depth_prune ({part_width_m, fx,
+        tol} — depth-based response pruning)."""
         from partsbaseddetector_tpu.models import load_any
 
         if "model" not in params:
             raise ValueError("param 'model' (model file path) required")
         model = load_any(params["model"])
+        kw = {}
+        for k in ("k_per_level", "dp_split"):
+            if params.get(k) is not None:
+                kw[k] = int(params[k])
+        for k in ("conv_engine", "walk_impl", "compose", "aot_dir"):
+            if params.get(k) is not None:
+                kw[k] = str(params[k])
+        if params.get("depth_prune") is not None:
+            from partsbaseddetector_tpu.infer.detector import DepthPrune
+            dp = params["depth_prune"]
+            kw["depth_prune"] = (dp if isinstance(dp, DepthPrune)
+                                 else DepthPrune(**dp))
+        if params.get("mesh") is not None:
+            m = params["mesh"]
+            if not hasattr(m, "devices"):      # axis sizes, not a Mesh
+                from partsbaseddetector_tpu.parallel.mesh import \
+                    make_mesh
+                m = make_mesh(tuple(int(x) for x in m))
+            kw["mesh"] = m
         return cls(model, transport, camera=camera,
                    ns=params.get("ns", "/pbd/"),
                    name=params.get("name"),
                    remove_planes=bool(params.get("remove_planes",
                                                  False)),
-                   max_overlap=float(params.get("max_overlap", 0.1)))
+                   max_overlap=float(params.get("max_overlap", 0.1)),
+                   **kw)
 
     def make_synchronizer(self, queue_size: int = 50,
                           slop: Optional[float] = None

@@ -68,12 +68,21 @@ class StreamingDetector:
     ...                        remove_planes=False)
     >>> sd.on("overlay", lambda img: display(img))
     >>> result = sd.process(rgb, depth, cloud)
+
+    The first argument is either a PartsModel — routed to the right
+    backend exactly like the reference frontends wrap the full facade
+    (ros/Node.cpp:72-105, cells/detect.cpp:167-185): multi-resolution
+    models go to MultiResDetector, a ``mesh`` goes to the sharded
+    BatchDetector, everything else to the single-chip Detector, with
+    every facade knob (conv_engine / walk_impl / dp_split / compose /
+    aot_dir) passed through — or a PREBUILT detector backend (Detector,
+    MultiResDetector, or BatchDetector), used as-is.
     """
 
     SINKS = ("detections", "overlay", "mask", "boxes3d", "clusters",
              "part_centers", "poses", "error")
 
-    def __init__(self, model: PartsModel,
+    def __init__(self, model,
                  camera: Optional[CameraModel] = None,
                  max_overlap: float = 0.1,
                  remove_planes: bool = False,
@@ -81,15 +90,39 @@ class StreamingDetector:
                  max_candidates: Optional[int] = 32,
                  max_retries: int = 1,
                  retry_backoff_s: float = 0.5,
-                 depth_prune=None):
+                 depth_prune=None,
+                 *,
+                 mesh=None,
+                 conv_engine: str = "spatial",
+                 walk_impl: str = "auto",
+                 dp_split=None,
+                 compose: str = "reference",
+                 aot_dir: Optional[str] = None):
         """depth_prune: optional infer.detector.DepthPrune — when set,
         per-frame depth maps prune stage-2 responses BEFORE the DP (the
         reference's detect(rgb, depth, candidates) semantics,
         include/PartsBasedDetector.hpp:172-174), in addition to their
-        role in 3-D post-processing."""
-        self.detector = Detector(model, k_per_level=k_per_level,
-                                 depth_prune=depth_prune)
-        self.model = model
+        role in 3-D post-processing.
+
+        model: a PartsModel OR a prebuilt detector backend (any object
+        with detect_raw / detect_batch_raw / detect_batch and a
+        ``model`` attribute); when prebuilt, the detector-construction
+        knobs (k_per_level, depth_prune, mesh, conv_engine, walk_impl,
+        dp_split, compose, aot_dir) are ignored.
+        mesh: optional jax.sharding.Mesh with (data, filter) axes —
+        serve through the sharded BatchDetector on it.
+        aot_dir: executable cache directory — deterministic serving
+        restarts (infer/aot.py) now reach the deployment frontends."""
+        if hasattr(model, "detect_raw") or hasattr(model, "detect_batch"):
+            self.detector = model              # prebuilt backend
+            self.model = model.model
+        else:
+            self.detector = self._build_backend(
+                model, mesh=mesh, k_per_level=k_per_level,
+                depth_prune=depth_prune, conv_engine=conv_engine,
+                walk_impl=walk_impl, dp_split=dp_split, compose=compose,
+                aot_dir=aot_dir)
+            self.model = model
         self.camera = camera
         self.max_overlap = float(max_overlap)
         self.remove_planes = bool(remove_planes)
@@ -98,6 +131,84 @@ class StreamingDetector:
         self.retry_backoff_s = float(retry_backoff_s)
         self._sinks: Dict[str, List[Callable]] = {s: []
                                                   for s in self.SINKS}
+
+    @staticmethod
+    def _build_backend(model: PartsModel, *, mesh, k_per_level,
+                       depth_prune, conv_engine, walk_impl, dp_split,
+                       compose, aot_dir):
+        """Route a model to the right detector facade (the frontends'
+        distributeModel step, ros/Node.cpp:72-105)."""
+        if mesh is not None:
+            from partsbaseddetector_tpu.parallel.sharded import \
+                BatchDetector
+            return BatchDetector(
+                model, mesh, k_per_level=k_per_level, compose=compose,
+                dp_split=dp_split, conv_engine=conv_engine,
+                depth_prune=depth_prune, walk_impl=walk_impl,
+                aot_dir=aot_dir)
+        if model.max_scale() > 0:
+            from partsbaseddetector_tpu.infer.multires import \
+                MultiResDetector
+            return MultiResDetector(
+                model, k_per_level=k_per_level, depth_prune=depth_prune,
+                conv_engine=conv_engine, aot_dir=aot_dir)
+        return Detector(model, k_per_level=k_per_level, compose=compose,
+                        dp_split=dp_split, depth_prune=depth_prune,
+                        conv_engine=conv_engine, walk_impl=walk_impl,
+                        aot_dir=aot_dir)
+
+    # ---------------------------------------------- backend dispatch
+    # normalize the three facades (Detector / MultiResDetector /
+    # BatchDetector) to single-frame and batched raw calls so every
+    # pipeline entry point serves any backend
+    def _detect_single(self, rgb, depth=None):
+        det = self.detector
+        if hasattr(det, "detect_raw"):
+            return det.detect_raw(rgb, depth=depth)
+        # mesh backend: replicate the frame over the data axis (the
+        # executable's batch is fixed at a data-axis multiple), keep
+        # result 0 — single-frame serving on a mesh pays replication,
+        # use process_batch/stream for mesh throughput
+        import jax
+
+        ndata = det.mesh.shape["data"]
+        rgbs = np.broadcast_to(np.asarray(rgb),
+                               (ndata,) + np.asarray(rgb).shape)
+        ds = None if depth is None else np.broadcast_to(
+            np.asarray(depth), (ndata,) + np.asarray(depth).shape)
+        out = det.detect_batch(rgbs, depths=ds)
+        return jax.tree.map(lambda x: x[0], out)
+
+    def _detect_batch(self, rgbs, depths=None):
+        det = self.detector
+        if hasattr(det, "detect_batch_raw"):
+            return det.detect_batch_raw(rgbs, depths=depths)
+        if hasattr(det, "detect_batch"):   # BatchDetector (mesh)
+            import jax
+
+            ndata = det.mesh.shape["data"]
+            B = len(rgbs)
+            pad = (-B) % ndata
+            if pad:      # repeat the last frame up to a data-axis
+                rgbs = np.concatenate(
+                    [rgbs, np.repeat(np.asarray(rgbs)[-1:], pad, 0)])
+                if depths is not None:
+                    depths = np.concatenate(
+                        [depths,
+                         np.repeat(np.asarray(depths)[-1:], pad, 0)])
+            out = det.detect_batch(rgbs, depths=depths)
+            if pad:
+                out = jax.tree.map(lambda x: x[:B], out)
+            return out
+        # MultiResDetector: per-frame async dispatches, stacked on
+        # device so the result has the same (B, ...) leaf shapes
+        import jax
+        import jax.numpy as jnp
+
+        outs = [det.detect_raw(
+            rgbs[i], depth=None if depths is None else depths[i])
+            for i in range(len(rgbs))]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     def on(self, sink: str, fn: Callable) -> None:
         if sink not in self._sinks:
@@ -147,7 +258,7 @@ class StreamingDetector:
         import time as _time
 
         if redispatch is None:
-            redispatch = lambda: self.detector.detect_batch_raw(rgbs)
+            redispatch = lambda: self._detect_batch(rgbs)
         delay = self.retry_backoff_s
         for attempt in range(self.max_retries + 1):
             try:
@@ -175,8 +286,8 @@ class StreamingDetector:
         depth maps)."""
         d = depth if self.detector.depth_prune is not None else None
         cands = self._fetch_or_retry(
-            self.detector.detect_raw(rgb, depth=d), [rgb],
-            redispatch=lambda: self.detector.detect_raw(rgb, depth=d))
+            self._detect_single(rgb, depth=d), [rgb],
+            redispatch=lambda: self._detect_single(rgb, depth=d))
         return self._postprocess(cands, rgb, depth, cloud)
 
     def process_batch(self, rgbs, depths=None,
@@ -193,9 +304,8 @@ class StreamingDetector:
         if depths is not None and self.detector.depth_prune is not None:
             d = np.asarray(depths)
         cands_b = self._fetch_or_retry(
-            self.detector.detect_batch_raw(rgbs, depths=d), rgbs,
-            redispatch=lambda: self.detector.detect_batch_raw(
-                rgbs, depths=d))
+            self._detect_batch(rgbs, depths=d), rgbs,
+            redispatch=lambda: self._detect_batch(rgbs, depths=d))
         out = []
         for i in range(rgbs.shape[0]):
             cands = jax.tree.map(lambda x: x[i], cands_b)
@@ -233,8 +343,7 @@ class StreamingDetector:
                     dg = dg + [dg[-1]]
             rgbs = np.asarray(g)
             db = np.asarray(dg) if prune else None
-            cands_b = self.detector.detect_batch_raw(rgbs,
-                                                     depths=db)  # async
+            cands_b = self._detect_batch(rgbs, depths=db)      # async
             if pending is not None:
                 yield from self._drain(pending, depths, clouds)
             pending = (rgbs, db, n_real, offset, cands_b)
@@ -248,8 +357,7 @@ class StreamingDetector:
         rgbs, db, n_real, offset, cands_b = pending
         cands_b = self._fetch_or_retry(
             cands_b, rgbs,
-            redispatch=lambda: self.detector.detect_batch_raw(
-                rgbs, depths=db))
+            redispatch=lambda: self._detect_batch(rgbs, depths=db))
         for i in range(n_real):
             cands = jax.tree.map(lambda x: x[i], cands_b)
             j = offset + i
@@ -266,7 +374,7 @@ class StreamingDetector:
         from partsbaseddetector_tpu.ops.nms import paint_nms
 
         cands = paint_nms(cands, rgb.shape[:2], self.max_overlap)
-        detections = self.detector.candidates_to_detections(
+        detections = Detector.candidates_to_detections(
             cands, self.max_candidates)
         res = FrameResult(detections=detections)
         self._emit("detections", detections)
