@@ -90,7 +90,8 @@ class PipelinedDetector:
     def __init__(self, model: PartsModel, front, back,
                  k_per_level: int = 64, compose: str = "reference",
                  dp_split=None, conv_engine: str = "spatial",
-                 depth_prune=None, walk_impl: str = "auto"):
+                 depth_prune=None, walk_impl: str = "auto",
+                 aot_dir=None):
         if model.max_scale() > 0:
             raise ValueError(
                 "multi-resolution models couple levels across octave "
@@ -114,6 +115,13 @@ class PipelinedDetector:
         if walk_impl not in ("xla", "pallas", "pallas_interpret"):
             raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
+        # AOT executable cache (infer/aot.py): BOTH stage programs
+        # restart by deserializing (keyed per stage group's device), so
+        # the pipelined serving shape has the same deterministic cold
+        # start as every other path (the reference's zero cold start,
+        # src/demo.cpp:55-118)
+        self.aot_dir = aot_dir
+        self.aot_stats = []
         packed = pack_model(model)
         # the front group only convolves: it needs the bank; the back
         # group needs the tree parameters
@@ -141,6 +149,62 @@ class PipelinedDetector:
             self._compiled[key] = (fn1, fn2, plan)
         return self._compiled[key]
 
+    def _get_exec_fns(self, image, depth=None):
+        """(fn1, fn2) callables, AOT-materialized when aot_dir is set.
+        Both take positional args; fn1 takes (image, packed[, depth]),
+        fn2 takes (per_bucket, packed).  fn2's example args (the
+        stage-1 output pytree) only exist after stage 1 runs, so the
+        first materialization executes stage 1 once."""
+        variant = "depth" if depth is not None else ""
+        if self.aot_dir is None:
+            fn1, fn2, _ = self._get_fns(image.shape[:2], variant)
+            if depth is not None:
+                return (lambda im, pk, d: fn1(im, pk, depth=d)), fn2
+            return fn1, fn2
+        key = ("aot", variant) + tuple(image.shape) \
+            + (str(image.dtype),)
+        if depth is not None:
+            key += tuple(depth.shape) + (str(depth.dtype),)
+        if key not in self._compiled:
+            import dataclasses as _dc
+
+            from partsbaseddetector_tpu.infer import aot as aot_mod
+            jfn1, jfn2, _ = self._get_fns(image.shape[:2], variant)
+            cfg = dict(kind="pipelined",
+                       k_per_level=self.k_per_level,
+                       compose=self.compose, dp_split=self.dp_split,
+                       conv_engine=self.conv_engine,
+                       walk_impl=self.walk_impl, variant=variant)
+            if self.depth_prune is not None:
+                cfg["depth_prune"] = _dc.asdict(self.depth_prune)
+
+            def devs(d):
+                return list(d) if isinstance(d, (list, tuple)) else [d]
+
+            img_f = jax.device_put(image, self.front)
+            if depth is not None:
+                d_f = jax.device_put(depth, self.front)
+                # positional wrapper (Compiled calling convention)
+                prog1 = jax.jit(
+                    lambda im, pk, d: jfn1(im, pk, depth=d))
+                s1_args = (img_f, self.packed_front, d_f)
+            else:
+                prog1 = jfn1
+                s1_args = (img_f, self.packed_front)
+            st1 = aot_mod.AotStats()
+            fn1x = aot_mod.get_or_compile(
+                prog1, s1_args, dict(cfg, stage=1), self.aot_dir, st1,
+                devices=devs(self.front))
+            s1 = fn1x(*s1_args)
+            s1_back = jax.device_put(s1, self.back)
+            st2 = aot_mod.AotStats()
+            fn2x = aot_mod.get_or_compile(
+                jfn2, (s1_back, self.packed_back), dict(cfg, stage=2),
+                self.aot_dir, st2, devices=devs(self.back))
+            self.aot_stats.extend([st1, st2])
+            self._compiled[key] = (fn1x, fn2x)
+        return self._compiled[key]
+
     def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
         """One frame through both stages (no pipelining benefit for a
         single frame; use stream() for throughput).  depth: optional
@@ -152,13 +216,13 @@ class PipelinedDetector:
                 "depth map passed but this detector has no depth_prune "
                 "config (matches Detector behavior)")
         if depth is not None and self.depth_prune is not None:
-            fn1, fn2, _ = self._get_fns(image.shape[:2], "depth")
+            depth = jnp.asarray(depth)
+            fn1, fn2 = self._get_exec_fns(image, depth)
             s1 = fn1(jax.device_put(image, self.front),
                      self.packed_front,
-                     depth=jax.device_put(jnp.asarray(depth),
-                                          self.front))
+                     jax.device_put(depth, self.front))
         else:
-            fn1, fn2, _ = self._get_fns(image.shape[:2])
+            fn1, fn2 = self._get_exec_fns(image)
             s1 = fn1(jax.device_put(image, self.front),
                      self.packed_front)
         s1_back = jax.device_put(s1, self.back)     # inter-group copy
@@ -193,13 +257,13 @@ class PipelinedDetector:
         for i, f in enumerate(frames):
             image = jnp.asarray(f)
             if depths is not None and self.depth_prune is not None:
-                fn1, fn2, _ = self._get_fns(image.shape[:2], "depth")
+                d = jnp.asarray(depths[i])
+                fn1, fn2 = self._get_exec_fns(image, d)
                 s1 = fn1(jax.device_put(image, self.front),
                          self.packed_front,
-                         depth=jax.device_put(jnp.asarray(depths[i]),
-                                              self.front))
+                         jax.device_put(d, self.front))
             else:
-                fn1, fn2, _ = self._get_fns(image.shape[:2])
+                fn1, fn2 = self._get_exec_fns(image)
                 s1 = fn1(jax.device_put(image, self.front),
                          self.packed_front)
             s1_back = jax.device_put(s1, self.back)

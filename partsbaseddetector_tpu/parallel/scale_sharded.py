@@ -163,7 +163,7 @@ class ScaleShardedDetector:
     def __init__(self, model: PartsModel, mesh: Mesh,
                  k_per_level: int = 64, compose: str = "reference",
                  conv_engine: str = "spatial", depth_prune=None,
-                 walk_impl: str = "auto"):
+                 walk_impl: str = "auto", aot_dir=None):
         # multi-resolution models route through the multires program
         # with each bucket's level axis sharded; the cross-octave slot
         # reads (a part's maps one bucket finer than its root) reshard
@@ -185,6 +185,13 @@ class ScaleShardedDetector:
         if walk_impl not in ("xla", "pallas", "pallas_interpret"):
             raise ValueError(f"walk_impl {walk_impl!r}")
         self.walk_impl = walk_impl
+        # AOT executable cache (infer/aot.py): the latency-oriented
+        # serving shape gets the same deterministic restart as the
+        # single-chip and batch-sharded paths (zero cold start
+        # everywhere, the reference's src/demo.cpp:55-118 analog);
+        # artifacts keyed by mesh shape + device list
+        self.aot_dir = aot_dir
+        self.aot_stats = []
         packed = pack_model(model)
         if self.multires and any(c.aliased for c in packed.components):
             # same boundary as MultiResDetector (no reference
@@ -250,6 +257,27 @@ class ScaleShardedDetector:
             self._compiled[key] = fn
         return self._compiled[key]
 
+    def _aot_materialize(self, key, jitted, example_args, variant):
+        """Compile-or-load one program under the AOT cache (same
+        pattern as BatchDetector.detect_batch)."""
+        import dataclasses as _dc
+
+        from partsbaseddetector_tpu.infer import aot as aot_mod
+        cfg = dict(kind="scale_sharded", mesh=dict(self.mesh.shape),
+                   k_per_level=self.k_per_level, compose=self.compose,
+                   conv_engine=self.conv_engine,
+                   walk_impl=self.walk_impl, multires=self.multires,
+                   variant=variant)
+        if self.depth_prune is not None:
+            # pruning constants are baked into the executable
+            cfg["depth_prune"] = _dc.asdict(self.depth_prune)
+        stats = aot_mod.AotStats()
+        fn = aot_mod.get_or_compile(
+            jitted, example_args, cfg, self.aot_dir, stats,
+            devices=list(self.mesh.devices.flat))
+        self.aot_stats.append(stats)
+        return fn
+
     def detect_raw(self, image, depth=None) -> argmax_ops.Candidates:
         """depth: optional (H, W) metric depth map — with a
         ``depth_prune`` config, responses at implausible depths are
@@ -260,9 +288,31 @@ class ScaleShardedDetector:
                 raise ValueError(
                     "depth map passed but this detector has no "
                     "depth_prune config (matches Detector behavior)")
+            depth = jnp.asarray(depth)
+            if self.aot_dir is not None:
+                key = ("aot", "depth") + tuple(image.shape) \
+                    + (str(image.dtype),) + tuple(depth.shape) \
+                    + (str(depth.dtype),)
+                if key not in self._compiled:
+                    single = self._get_fn(image.shape[:2], "depth",
+                                          depth_cfg=self.depth_prune)
+                    # positional wrapper: Compiled's serialized calling
+                    # convention is positional-only
+                    prog = jax.jit(lambda im, packed, d:
+                                   single(im, packed, depth=d))
+                    self._compiled[key] = self._aot_materialize(
+                        key, prog, (image, self.packed, depth), "depth")
+                return self._compiled[key](image, self.packed, depth)
             fn = self._get_fn(image.shape[:2], "depth",
                               depth_cfg=self.depth_prune)
-            return fn(image, self.packed, depth=jnp.asarray(depth))
+            return fn(image, self.packed, depth=depth)
+        if self.aot_dir is not None:
+            key = ("aot",) + tuple(image.shape) + (str(image.dtype),)
+            if key not in self._compiled:
+                jitted = self._get_fn(image.shape[:2])
+                self._compiled[key] = self._aot_materialize(
+                    key, jitted, (image, self.packed), "single")
+            return self._compiled[key](image, self.packed)
         return self._get_fn(image.shape[:2])(image, self.packed)
 
     def detect_masked_raw(self, image, part_masks

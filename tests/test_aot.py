@@ -174,3 +174,99 @@ def test_aot_corrupt_artifact_falls_back(setup):
     out = det2.detect_raw(im)                 # silent recompile
     assert not det2.aot_stats[0].hit
     assert _entries(out) == ref
+
+
+def test_aot_scale_sharded(setup):
+    """AOT restart of the scale-sharded (latency) serving program —
+    the capability-matrix row VERDICT r4 flagged missing."""
+    import jax
+
+    from partsbaseddetector_tpu.parallel.scale_sharded import (
+        ScaleShardedDetector, make_scale_mesh)
+
+    model, im, aot_dir = setup
+    mesh = make_scale_mesh((2, 2), devices=jax.devices()[:4])
+
+    s1 = ScaleShardedDetector(model, mesh, k_per_level=8,
+                              aot_dir=aot_dir)
+    out1 = s1.detect_raw(im)
+    assert len(s1.aot_stats) == 1 and not s1.aot_stats[0].hit
+
+    s2 = ScaleShardedDetector(model, mesh, k_per_level=8,
+                              aot_dir=aot_dir)
+    out2 = s2.detect_raw(im)
+    assert s2.aot_stats[0].hit, s2.aot_stats[0].fallback_reason
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+
+    ref = ScaleShardedDetector(model, mesh,
+                               k_per_level=8).detect_raw(im)
+    assert _entries(out2) == _entries(ref)
+
+
+def test_aot_scale_sharded_depth(setup):
+    """Depth-pruned scale-sharded program AOT-caches and keys on the
+    DepthPrune values (stale-constant protection)."""
+    import jax
+
+    from partsbaseddetector_tpu.infer.detector import DepthPrune
+    from partsbaseddetector_tpu.parallel.scale_sharded import (
+        ScaleShardedDetector, make_scale_mesh)
+
+    model, im, aot_dir = setup
+    mesh = make_scale_mesh((4, 1), devices=jax.devices()[:4])
+    prune = DepthPrune(part_width_m=0.3, fx=500.0, tol=0.5)
+    depth = np.zeros(im.shape[:2], np.float32)
+
+    s1 = ScaleShardedDetector(model, mesh, k_per_level=8,
+                              depth_prune=prune, aot_dir=aot_dir)
+    out1 = s1.detect_raw(im, depth=depth)
+    assert not s1.aot_stats[0].hit
+
+    s2 = ScaleShardedDetector(model, mesh, k_per_level=8,
+                              depth_prune=prune, aot_dir=aot_dir)
+    out2 = s2.detect_raw(im, depth=depth)
+    assert s2.aot_stats[0].hit
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+
+    # different pruning constants must MISS (they are baked into the
+    # executable)
+    s3 = ScaleShardedDetector(
+        model, mesh, k_per_level=8, aot_dir=aot_dir,
+        depth_prune=DepthPrune(part_width_m=0.6, fx=500.0, tol=0.5))
+    s3.detect_raw(im, depth=depth)
+    assert not s3.aot_stats[0].hit
+
+
+def test_aot_pipelined(setup):
+    """AOT restart of BOTH pipeline stage programs (front + back
+    groups), bit-identical to the jit path."""
+    import jax
+
+    from partsbaseddetector_tpu.parallel.pipeline import \
+        PipelinedDetector
+
+    model, im, aot_dir = setup
+    devs = jax.devices()
+    p1 = PipelinedDetector(model, front=devs[0], back=devs[1],
+                           k_per_level=8, dp_split=1, aot_dir=aot_dir)
+    out1 = p1.detect_raw(im)
+    assert len(p1.aot_stats) == 2
+    assert not p1.aot_stats[0].hit and not p1.aot_stats[1].hit
+
+    p2 = PipelinedDetector(model, front=devs[0], back=devs[1],
+                           k_per_level=8, dp_split=1, aot_dir=aot_dir)
+    out2 = p2.detect_raw(im)
+    assert p2.aot_stats[0].hit and p2.aot_stats[1].hit
+    np.testing.assert_array_equal(np.asarray(out1.score),
+                                  np.asarray(out2.score))
+
+    ref = PipelinedDetector(model, front=devs[0], back=devs[1],
+                            k_per_level=8, dp_split=1).detect_raw(im)
+    assert _entries(out2) == _entries(ref)
+
+    # streamed frames reuse the loaded executables (no new stats)
+    n_stats = len(p2.aot_stats)
+    outs = list(p2.stream([im, im]))
+    assert len(outs) == 2 and len(p2.aot_stats) == n_stats
