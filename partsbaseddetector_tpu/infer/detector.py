@@ -198,6 +198,39 @@ def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
     return out
 
 
+def pyramid_features_program(plan: PyramidPlan, norient: int,
+                             flen: int):
+    """Stage-1 program: per-level HOG maps (padded) for the whole
+    pyramid — the trainer's feature write-back path, shared by the
+    single-resolution and multi-resolution facades."""
+    def fn(img):
+        img = img.astype(jnp.float32)
+        out = []
+        prev_buf = prev_levels = None
+        for bucket in plan.buckets:
+            imsizes = jnp.asarray(
+                [lvl.imsize for lvl in bucket.levels], jnp.int32)
+            if bucket.octave == 0:
+                buf = jax.vmap(lambda ts: resize_linear(
+                    img, bucket.img_pad, (ts[0], ts[1])))(imsizes)
+            else:
+                prev_sizes = jnp.asarray(
+                    [lvl.imsize for lvl in
+                     prev_levels[:len(bucket.levels)]], jnp.int32)
+                buf = jax.vmap(lambda sb, ts: pyr_down(
+                    sb, bucket.img_pad, (ts[0], ts[1])))(
+                        prev_buf[:len(bucket.levels)], prev_sizes)
+            prev_buf, prev_levels = buf, bucket.levels
+            feats = jax.vmap(lambda b, ts: hog_features(
+                b, plan.binsize, norient, flen,
+                true_size=(ts[0], ts[1]),
+                feat_pad=bucket.feat_pad))(buf, imsizes)
+            out.extend(feats[j] for j in range(len(bucket.levels)))
+        return out
+
+    return fn
+
+
 def _detect_program(image: jnp.ndarray, packed: PackedModel,
                     plan: PyramidPlan, k_per_level: int,
                     compose: str,
@@ -540,34 +573,9 @@ class Detector:
         key = ("feats",) + tuple(image.shape[:2])
         if key not in self._compiled:
             plan = self.plan_for(image.shape[:2])
-
-            def fn(img):
-                img = img.astype(jnp.float32)
-                out = []
-                prev_buf = prev_levels = None
-                for bucket in plan.buckets:
-                    imsizes = jnp.asarray(
-                        [lvl.imsize for lvl in bucket.levels], jnp.int32)
-                    if bucket.octave == 0:
-                        buf = jax.vmap(lambda ts: resize_linear(
-                            img, bucket.img_pad, (ts[0], ts[1])))(imsizes)
-                    else:
-                        prev_sizes = jnp.asarray(
-                            [lvl.imsize for lvl in
-                             prev_levels[:len(bucket.levels)]], jnp.int32)
-                        buf = jax.vmap(lambda sb, ts: pyr_down(
-                            sb, bucket.img_pad, (ts[0], ts[1])))(
-                                prev_buf[:len(bucket.levels)], prev_sizes)
-                    prev_buf, prev_levels = buf, bucket.levels
-                    feats = jax.vmap(lambda b, ts: hog_features(
-                        b, plan.binsize, self.packed.norient,
-                        self.packed.flen, true_size=(ts[0], ts[1]),
-                        feat_pad=bucket.feat_pad))(buf, imsizes)
-                    out.extend(feats[j] for j in
-                               range(len(bucket.levels)))
-                return out
-
-            self._compiled[key] = (jax.jit(fn), plan)
+            fn = jax.jit(pyramid_features_program(
+                plan, self.packed.norient, self.packed.flen))
+            self._compiled[key] = (fn, plan)
         fn, plan = self._compiled[key]
         feats = fn(image)
         return [np.asarray(f[:lvl.featsize[0], :lvl.featsize[1]])

@@ -48,8 +48,18 @@ from partsbaseddetector_tpu.ops.dt import shiftdt_max
 
 
 def _dp_multires(per_bucket, o: int, L: int, comp: PackedComponent,
-                 pscales, parents):
+                 pscales, parents, part_masks=None):
     """Leaf-to-root pass for root bucket o over its L levels.
+
+    part_masks: optional per-bucket tuple of (L_b, P, fh_b, fw_b) bool
+    masks (allowed part placements); each part's mask is read from its
+    OWN slot bucket (o - pscales[p]) — the latent-positive overlap
+    constraint at the part's own resolution.  The Matlab reference
+    composes masking with multi-scale parts (detect.m:60-101 with
+    :184-212), but its testoverlap is called with rlevel (detect.m:95)
+    while the score lives at the part's finer level — a logical-index
+    size mismatch Matlab silently linearizes.  We implement the
+    evident intent: the mask computed on the part's own level grid.
 
     Returns (rootv (L, M?, H, W) reduced -> (L, H, W), rooti, scores
     per part, tmps per part)."""
@@ -60,6 +70,9 @@ def _dp_multires(per_bucket, o: int, L: int, comp: PackedComponent,
         sp = jnp.moveaxis(pdfs_s[:L], -1, 1)[
             :, comp.filterid[p]]                    # (L, M, Hs, Ws)
         sp = jnp.where(comp.mix_valid[p][None, :, None, None], sp, NEG)
+        if part_masks is not None:
+            mb = part_masks[o - pscales[p]][:L, p]  # (L, Hs, Ws)
+            sp = jnp.where(mb[:, None, :, :], sp, NEG)
         scores.append(sp)
 
     tmps: List[jnp.ndarray] = [None] * P
@@ -164,7 +177,8 @@ def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
                       k_per_level: int,
                       pdfs_transform=None,
                       depth=None, depth_cfg=None,
-                      conv_engine: str = "spatial"
+                      conv_engine: str = "spatial",
+                      part_masks=None
                       ) -> argmax_ops.Candidates:
     """pdfs_transform: optional fn(pdfs (L, fh, fw, F)) -> pdfs, applied
     per bucket — the seam scale-axis sharding uses to constrain each
@@ -177,7 +191,11 @@ def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
     the single-resolution path (infer/detector._detect_program).
 
     conv_engine: stage-2 scoring engine ("spatial" | "fft"), same knob
-    as the single-resolution facade."""
+    as the single-resolution facade.
+
+    part_masks: optional per-bucket tuple of (L_b, P, fh_b, fw_b) bool
+    allowed-placement masks (latent-positive search; see
+    _dp_multires)."""
     from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
 
     per_bucket = pyramid_pdfs(image, packed, plan,
@@ -200,7 +218,7 @@ def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
             pscales = packed.scale_static[c]
             parents = packed.parent_static[c]
             rootv, rooti, scores, tmps = _dp_multires(
-                per_bucket, o, L, comp, pscales, parents)
+                per_bucket, o, L, comp, pscales, parents, part_masks)
             # per-part pixel stride at each slot: the scale vector of
             # the part's own bucket, sliced to this bucket's levels
             pscl = jnp.stack(
@@ -320,6 +338,61 @@ class MultiResDetector:
             return self._compiled[key](image, self.packed,
                                        depth=jnp.asarray(depth))
         return self._compiled[key](image, self.packed)
+
+    def detect_masked_raw(self, image, part_masks
+                          ) -> argmax_ops.Candidates:
+        """Latent-positive masked search on a multi-resolution model:
+        part_masks is the per-bucket (L, P, fh, fw) bool format of
+        Detector.detect_masked_raw; each part's mask is read at its
+        own octave (see _dp_multires — the Matlab trainer's overlap
+        constraint, detect.m:60-101, composed with multi-scale parts,
+        detect.m:184-212)."""
+        image = jnp.asarray(image)
+        key = ("masked",) + tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = make_plan(image.shape[:2], self.model.binsize,
+                             self.model.interval)
+            self._compiled[key] = jax.jit(partial(
+                _multires_program, plan=plan,
+                k_per_level=self.k_per_level,
+                conv_engine=self.conv_engine))
+        return self._compiled[key](
+            image, self.packed,
+            part_masks=tuple(jnp.asarray(m) for m in part_masks))
+
+    def plan_for(self, imshape):
+        """PyramidPlan for an image shape (same facade surface as
+        Detector — the trainer's mask/feature plumbing uses it)."""
+        return make_plan(imshape, self.model.binsize,
+                         self.model.interval)
+
+    def update_model(self, model: PartsModel) -> None:
+        """Swap weights without recompiling (same traced-args contract
+        as Detector.update_model)."""
+        assert model.binsize == self.model.binsize
+        assert model.interval == self.model.interval
+        self.model = model
+        self.packed = pack_model(model)
+
+    def pyramid_features(self, image):
+        """Per-level HOG maps (true sizes, host numpy) — the trainer's
+        feature write-back path (train/features.py), shared program
+        with Detector.pyramid_features."""
+        import numpy as _np
+
+        from partsbaseddetector_tpu.infer.detector import \
+            pyramid_features_program
+        image = jnp.asarray(image)
+        key = ("feats",) + tuple(image.shape[:2])
+        if key not in self._compiled:
+            plan = self.plan_for(image.shape[:2])
+            fn = jax.jit(pyramid_features_program(
+                plan, self.packed.norient, self.packed.flen))
+            self._compiled[key] = (fn, plan)
+        fn, plan = self._compiled[key]
+        feats = fn(image)
+        return [_np.asarray(f[:lvl.featsize[0], :lvl.featsize[1]])
+                for f, lvl in zip(feats, plan.levels)]
 
     def detect(self, image, *, depth=None,
                max_detections=None) -> List[Detection]:

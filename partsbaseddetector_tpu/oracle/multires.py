@@ -37,12 +37,21 @@ from partsbaseddetector_tpu.oracle.reference import (
 
 def dp_min_multires(model: PartsModel, c: int,
                     pdfs_by_level: Dict[int, List[np.ndarray]],
-                    root_level: int, interval: int):
+                    root_level: int, interval: int, part_masks=None):
     """Leaf-to-root message passing with per-edge strided DTs.
 
     pdfs_by_level[lvl][fid]: response map of filter fid at pyramid level
     lvl.  Returns (rootv, rooti, Ix, Iy, Ik, lvl) — argmax tables like
-    oracle.reference.dp_min, plus lvl[p] = each part's pyramid level."""
+    oracle.reference.dp_min, plus lvl[p] = each part's pyramid level.
+
+    part_masks: optional per-level masks, part_masks[lvl] = (P, h, w)
+    bool allowed placements on that level's true grid — each part
+    masked at its OWN level BEFORE messages are added, the Matlab
+    order (detect.m:89-101 masks parts(k).score, messages add after;
+    its testoverlap-at-rlevel size garble for ds > 0 parts is
+    intentionally NOT reproduced, see infer/multires._dp_multires)."""
+    from partsbaseddetector_tpu.ops.common import NEG
+
     comp = model.components[c]
     nparts = comp.nparts
     scales = model.part_scales(c)
@@ -52,6 +61,20 @@ def dp_min_multires(model: PartsModel, c: int,
                          f"part scales {scales}")
 
     ncs: Dict[Tuple[int, int], np.ndarray] = {}  # (level, fid) -> score
+    if part_masks is not None:
+        # seed each part's buffers with the MASKED response so later
+        # messages add on top (multires models never alias filter ids
+        # within a component — MultiResDetector's guard)
+        for p in range(nparts):
+            part = comp.parts[p]
+            for m in range(part.nmixtures):
+                fid = part.filterid[m]
+                key = (lvl[p], fid)
+                if key not in ncs:
+                    ncs[key] = pdfs_by_level[lvl[p]][fid].copy()
+                mask = part_masks[lvl[p]][p]
+                buf = ncs[key]
+                buf[~mask[:buf.shape[0], :buf.shape[1]]] = NEG
     Ix: Dict[int, List[np.ndarray]] = {}
     Iy: Dict[int, List[np.ndarray]] = {}
     Ik: Dict[int, List[np.ndarray]] = {}
@@ -148,10 +171,15 @@ def dp_argmin_multires(model: PartsModel, c: int, rootv, rooti,
     return out
 
 
-def detect_multires(im: np.ndarray, model: PartsModel
+def detect_multires(im: np.ndarray, model: PartsModel, part_masks=None
                     ) -> List[OracleCandidate]:
     """Full multi-resolution pipeline: root levels start max_scale
-    octaves up so every part's level exists (detect.m:104)."""
+    octaves up so every part's level exists (detect.m:104).
+
+    part_masks: optional per-level (P, h, w) bool allowed-placement
+    masks (latent-positive search; see dp_min_multires — masking
+    operates on per-call copies, the shared response maps are never
+    mutated)."""
     images, pyr_scales = pyramid(im, model.binsize, model.interval)
     feats = [hog_features(x, model.binsize, model.norient, model.flen)
              for x in images]
@@ -163,7 +191,8 @@ def detect_multires(im: np.ndarray, model: PartsModel
     for root_level in range(smax * model.interval, nscales):
         for c in range(model.ncomponents):
             rootv, rooti, Ix, Iy, Ik, lvl = dp_min_multires(
-                model, c, pdfs_by_level, root_level, model.interval)
+                model, c, pdfs_by_level, root_level, model.interval,
+                part_masks)
             candidates.extend(dp_argmin_multires(
                 model, c, rootv, rooti, pyr_scales, root_level,
                 Ix, Iy, Ik, lvl))

@@ -224,10 +224,8 @@ class ScaleShardedDetector:
             plan = make_plan(imshape, self.model.binsize,
                              self.model.interval)
             if self.multires:
-                if variant == "masked":
-                    raise NotImplementedError(
-                        "masked latent search on multires models: the "
-                        "multires DP has no mask path")
+                # "masked" included: _multires_program takes part_masks
+                # (per-part masks at each part's own octave)
                 from partsbaseddetector_tpu.infer.multires import \
                     _multires_program
 

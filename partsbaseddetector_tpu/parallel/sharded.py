@@ -106,12 +106,9 @@ class BatchDetector:
                              self.model.interval)
 
             if self.multires:
-                if variant == "masked":
-                    raise NotImplementedError(
-                        "masked latent search on multires models: the "
-                        "multires DP has no mask path (train on "
-                        "single-resolution models, the Matlab trainer's "
-                        "setting)")
+                # every variant incl. "masked": _multires_program takes
+                # part_masks (per-part masks at each part's own octave,
+                # infer/multires._dp_multires)
                 from functools import partial as _partial
 
                 from partsbaseddetector_tpu.infer.multires import \

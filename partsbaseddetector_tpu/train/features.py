@@ -70,14 +70,20 @@ def detection_feature(model: PartsModel, layout: BlockLayout,
     """Dense feature vector of a detection against the feature pyramid
     (w . x == detection.score; see module docstring).
 
-    feats: per-level HOG maps (level index = detection.level)."""
+    feats: per-level HOG maps (level index = detection.level for the
+    root; a part at scale s reads level detection.level - s*interval —
+    multi-resolution models write their features at each part's own
+    level, with the strided deformation dx = px*2^ds + ax - x exactly
+    like defvector (matlab/detection/detect.m:330-338 with
+    part.step = 2^ds)."""
     comp = model.components[detection.component]
-    feat = feats[detection.level]
+    scales = model.part_scales(detection.component)
     vec = np.zeros(layout.length)
     # root bias (reference: src/DynamicProgram.cpp:163-170)
     vec[layout.bias_off[comp.parts[0].biasid[0]]] += 1.0
     for p, part in enumerate(comp.parts):
         x, y, m = (int(v) for v in detection.locations[p])
+        feat = feats[detection.level - scales[p] * model.interval]
         fid = part.filterid[m]
         kh, kw, _ = model.filters[fid].shape
         patch = _gather_patch(feat, y, x, kh, kw)
@@ -86,9 +92,10 @@ def detection_feature(model: PartsModel, layout: BlockLayout,
         if p > 0:
             px, py, pm = (int(v)
                           for v in detection.locations[part.parentid])
-            ax, ay = model.anchors[part.defid[m]]
-            dx = (px + ax) - x
-            dy = (py + ay) - y
+            step = 2 ** (scales[p] - scales[part.parentid])
+            ax, ay = model.anchors[part.defid[m]][:2]
+            dx = (px * step + ax) - x
+            dy = (py * step + ay) - y
             doff = layout.def_off[part.defid[m]]
             vec[doff:doff + 4] += [-dx * dx, -dx, -dy * dy, -dy]
             vec[layout.bias_off[part.biasid[m] + pm]] += 1.0

@@ -71,6 +71,10 @@ class TrainConfig:
     thresh_pct: float = 0.05      # model.thresh percentile (train.m:117)
     k_per_level: int = 8
     seed: int = 0
+    #: optional directory for the cluster-assignment debug montages
+    #: (utils/viz.show_part_clusters — the showpartclusters.m view
+    #: used while choosing nmix); None = no dump
+    cluster_debug_dir: Optional[str] = None
 
 
 def _stage_cache(cache_dir: Optional[str], name: str):
@@ -255,6 +259,13 @@ def train_parts_model(name: str,
     idx = cluster_mod.cluster_parts(deffeat, cfg.nmix, parents,
                                     restarts=20, seed=cfg.seed)
     log(f"template {tsize} cells, {cfg.nmix} mixtures/part")
+    if cfg.cluster_debug_dir is not None:
+        # per-(part, mixture) patch montages for eyeballing K
+        # (matlab/visualization/showpartclusters.m)
+        from partsbaseddetector_tpu.utils.viz import show_part_clusters
+        show_part_clusters(pos_images, boxes, idx,
+                           out_dir=cfg.cluster_debug_dir)
+        log(f"cluster montages -> {cfg.cluster_debug_dir}/cluster/")
 
     # ---- stage 1: per-part per-mixture filters (trainmodel.m:18-38)
     path = _stage_cache(cache_dir, f"{name}_parts")
@@ -335,6 +346,18 @@ def train_multi_component(name: str,
     return build_mod.merge_models(models, name=name)
 
 
+def _latent_detector(model: PartsModel, k_per_level: int):
+    """Detector for latent search: multi-resolution models route to
+    MultiResDetector (whose walk already uses the Matlab composition
+    training needs — shiftdt.cc:97-111); single-resolution models use
+    Detector(compose="correct") (rationale in latent_train)."""
+    if model.max_scale() > 0:
+        from partsbaseddetector_tpu.infer.multires import \
+            MultiResDetector
+        return MultiResDetector(model, k_per_level=k_per_level)
+    return Detector(model, k_per_level=k_per_level, compose="correct")
+
+
 def latent_train(model: PartsModel,
                  pos_images: Sequence[np.ndarray],
                  gt_boxes: np.ndarray,
@@ -355,8 +378,7 @@ def latent_train(model: PartsModel,
     # inference parity; the C++ engine has no masked search, so
     # training correctly follows matlab/detection/detect.m instead.
     # It also keeps w . detection_feature == score exact for the QP.
-    det = Detector(model, k_per_level=cfg.k_per_level,
-                   compose="correct")
+    det = _latent_detector(model, cfg.k_per_level)
     for t in range(cfg.latent_iters):
         qp = QPCache(layout.length, cfg.nmax, wreg, w0, noneg,
                      c_pos=cfg.C * cfg.wpos, c_neg=cfg.C,
@@ -396,8 +418,7 @@ def latent_train(model: PartsModel,
         mining_model = dataclasses.replace(model)
         mining_model.interval = 2
         mining_model.thresh = cfg.mining_thresh
-        mdet = Detector(mining_model, k_per_level=cfg.k_per_level,
-                        compose="correct")
+        mdet = _latent_detector(mining_model, cfg.k_per_level)
         saturated = False
         pruned = 0
         for i, im in enumerate(neg_images):

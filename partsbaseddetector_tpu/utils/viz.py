@@ -199,3 +199,84 @@ def visualize_model(model, bs: int = 20, mixture: int = 0) -> np.ndarray:
         im[y1:y2, x1:x2] = t
         start[p] = (x1, y1)
     return im
+
+
+def _crop_pad(image: np.ndarray, y1: int, y2: int, x1: int, x2: int
+              ) -> np.ndarray:
+    """Inclusive crop with zero padding outside the image (the
+    reference's subarray(im, y1, y2, x1, x2, 0),
+    matlab/visualization/showpartclusters.m:26)."""
+    H, W = image.shape[:2]
+    ch = y2 - y1 + 1
+    cw = x2 - x1 + 1
+    if image.ndim == 2:
+        image = image[:, :, None]
+    out = np.zeros((ch, cw, image.shape[2]), image.dtype)
+    sy1, sy2 = max(y1, 0), min(y2, H - 1)
+    sx1, sx2 = max(x1, 0), min(x2, W - 1)
+    if sy1 <= sy2 and sx1 <= sx2:
+        out[sy1 - y1:sy2 - y1 + 1, sx1 - x1:sx2 - x1 + 1] = \
+            image[sy1:sy2 + 1, sx1:sx2 + 1]
+    return out
+
+
+def _montage(patches: np.ndarray) -> np.ndarray:
+    """Square-ish grid of (N, h, w, c) patches (Matlab montage)."""
+    n, h, w, c = patches.shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    out = np.zeros((rows * h, cols * w, c), patches.dtype)
+    for i in range(n):
+        r, cc = divmod(i, cols)
+        out[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = patches[i]
+    return out
+
+
+def show_part_clusters(images: Sequence[np.ndarray],
+                       boxes: np.ndarray,
+                       idx: Sequence[np.ndarray],
+                       patch_size: int = 40,
+                       out_dir: Optional[str] = None):
+    """Cluster-assignment debug view for training-time K selection —
+    the counterpart of matlab/visualization/showpartclusters.m: for
+    each (part p, mixture m), a montage of the positives' part patches
+    assigned to that cluster, each patch cropped from the part's box
+    (zero-padded outside the image) and resized to
+    patch_size x patch_size.
+
+    images: N positives; boxes: (N, P, 4) part boxes (point_to_box
+    output); idx: per part, (N,) cluster assignment (cluster_parts
+    output).  Returns {(part, mixture): uint8 montage}; when out_dir
+    is set, also writes cluster/part{p}/mix{m}.png under it (the
+    reference's [visualdir 'cluster/part%d/mix%d.jpg'] layout)."""
+    from partsbaseddetector_tpu.oracle.reference import resize_linear
+
+    N = len(images)
+    P = len(idx)
+    patches = np.zeros((N, P, patch_size, patch_size, 3), np.uint8)
+    for n in range(N):
+        im = np.asarray(images[n])
+        if im.ndim == 2:
+            im = np.repeat(im[:, :, None], 3, axis=2)
+        for p in range(P):
+            x1, y1, x2, y2 = (int(round(float(v)))
+                              for v in boxes[n, p])
+            crop = _crop_pad(im, y1, y2, x1, x2).astype(np.float64)
+            rs = resize_linear(crop, (patch_size, patch_size))
+            patches[n, p] = np.clip(rs, 0, 255).astype(np.uint8)
+
+    out = {}
+    for p in range(P):
+        assign = np.asarray(idx[p])
+        for m in range(int(assign.max()) + 1):
+            members = np.nonzero(assign == m)[0]
+            if len(members) == 0:
+                continue
+            mont = _montage(patches[members, p])
+            out[(p, m)] = mont
+            if out_dir is not None:
+                import os
+                d = os.path.join(out_dir, "cluster", f"part{p}")
+                os.makedirs(d, exist_ok=True)
+                save_image(os.path.join(d, f"mix{m}.png"), mont)
+    return out
