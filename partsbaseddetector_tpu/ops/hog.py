@@ -184,12 +184,18 @@ def hog_features(im: jnp.ndarray, binsize: int, norient: int, flen: int,
         dots.shape[:2] + (norient,))
     bestv = jnp.max(cand, axis=-1, keepdims=True)
     eq = cand == bestv
-    first = eq & (jnp.cumsum(eq, axis=-1) == 1)
+    # first-wins slot via the reversed-iota max (same trick as the DT
+    # argmax, ops/dt._pass_1d): the smallest slot among the maxima.
+    # Replaces the cumsum(eq) scan — a full-resolution 18-channel
+    # reduce_window the profiler priced at ~0.3 ms/frame — with one
+    # more max reduce over the already-fused eq mask; the boolean
+    # result is identical
+    iota = jnp.arange(norient, dtype=jnp.int32)
+    rev = jnp.where(eq, norient - 1 - iota, jnp.int32(-1))
+    winner = (norient - 1) - jnp.max(rev, axis=-1, keepdims=True)
     # zero/negative best -> orientation 0 == slot 0 (+d0)
-    onehot0 = jnp.concatenate(
-        [jnp.ones(first.shape[:2] + (1,), bool),
-         jnp.zeros(first.shape[:2] + (norient - 1,), bool)], axis=-1)
-    first = jnp.where(bestv > 0, first, onehot0)
+    winner = jnp.where(bestv > 0, winner, jnp.int32(0))
+    first = iota[None, None, :] == winner
     mag = jnp.sqrt(v2b)
 
     # mask out pixels outside the reference loop range [1, vis-1)
