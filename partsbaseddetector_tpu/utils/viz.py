@@ -280,3 +280,57 @@ def show_part_clusters(images: Sequence[np.ndarray],
                 os.makedirs(d, exist_ok=True)
                 save_image(os.path.join(d, f"mix{m}.png"), mont)
     return out
+
+
+def visualize_hog_weights(w: np.ndarray, bs: int = 20) -> np.ndarray:
+    """Positive/negative HOG-weight panel — the counterpart of
+    matlab/visualization/visualizeHOG.m: fold to 9 insensitive
+    orientations, render +w and -w glyph pictures on a shared scale,
+    pad each with a gray border and stack vertically (uint8)."""
+    w9 = fold_hog(np.asarray(w, float))
+    scale = max(float(np.max(w9)), float(np.max(-w9)), 1e-12)
+    pos = hog_picture(np.maximum(w9, 0), bs) * 255.0 / scale
+    neg = hog_picture(np.maximum(-w9, 0), bs) * 255.0 / scale
+    buff = 10
+    def pad(x):
+        out = np.full((x.shape[0] + 2 * buff, x.shape[1] + 2 * buff),
+                      128.0)
+        out[buff:-buff, buff:-buff] = x
+        return out
+    return np.clip(np.concatenate([pad(pos), pad(neg)], axis=0),
+                   0, 255).astype(np.uint8)
+
+
+def visualize_skeleton(model, component: int = 0, cell: int = 24
+                       ) -> np.ndarray:
+    """Model-skeleton view — the counterpart of
+    matlab/visualization/visualizeskeleton.m: the part tree drawn from
+    each part's mean anchor offset (no image; edges parent -> child,
+    parts colored with the part ramp).  Returns an RGB uint8 canvas."""
+    from PIL import Image, ImageDraw
+
+    comp = model.components[component]
+    P = comp.nparts
+    pos = np.zeros((P, 2))            # (x, y) in cell units
+    for p in range(1, P):
+        part = comp.parts[p]
+        anchors = np.stack([
+            np.asarray(model.anchors[d]).ravel()[:2].astype(float)
+            for d in part.defid])
+        pos[p] = pos[part.parentid] + anchors.mean(axis=0)
+    pos -= pos.min(axis=0)
+    size = (pos.max(axis=0) + 2) * cell / 4.0 + 20
+    img = Image.new("RGB", (max(int(size[0]), 64),
+                            max(int(size[1]), 64)), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    pts = pos * cell / 4.0 + 10
+    colors = part_colors(P)
+    for p in range(1, P):
+        q = comp.parts[p].parentid
+        draw.line([tuple(pts[q]), tuple(pts[p])], fill=(80, 80, 80),
+                  width=2)
+    r = 4
+    for p in range(P):
+        x, y = pts[p]
+        draw.ellipse([x - r, y - r, x + r, y + r], fill=colors[p])
+    return np.asarray(img)

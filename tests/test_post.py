@@ -210,3 +210,25 @@ def test_show_part_clusters(tmp_path):
     total = sum(int((np.asarray(idx[0]) == m).sum())
                 for m in range(int(np.asarray(idx[0]).max()) + 1))
     assert total == len(pos)
+
+
+def test_visualize_hog_weights_and_skeleton():
+    """visualizeHOG.m (pos/neg weight panel) and visualizeskeleton.m
+    (anchor-derived model tree) counterparts — the last two
+    matlab/visualization tools."""
+    from partsbaseddetector_tpu.models import synthetic
+    from partsbaseddetector_tpu.utils import viz
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 4, 32))
+    panel = viz.visualize_hog_weights(w, bs=10)
+    assert panel.dtype == np.uint8
+    # two glyph pictures + gray borders stacked vertically
+    assert panel.shape == (2 * (4 * 10 + 20), 4 * 10 + 20)
+    assert (panel == 128).any() and panel.max() > 128
+
+    m = synthetic.tiny(seed=2)
+    canvas = viz.visualize_skeleton(m)
+    assert canvas.ndim == 3 and canvas.dtype == np.uint8
+    # something was drawn (not a blank canvas)
+    assert (canvas < 250).any()
