@@ -117,9 +117,8 @@ def test_multires_depth_prune_all_paths():
     np.testing.assert_array_equal(np.asarray(cands.valid[0]),
                                   np.asarray(base.valid))
     assert not np.asarray(cands.valid[1]).any()
-    import pytest
-    with pytest.raises(NotImplementedError, match="masked"):
-        bdet.detect_masked_batch(np.stack([im] * 4), ())
+    # masked multires on the sharded paths now works — covered by
+    # tests/test_multires_masked.py::test_masked_multires_sharded_paths
 
     sdet = ScaleShardedDetector(model, make_scale_mesh((8, 1)),
                                 k_per_level=8, depth_prune=CFG)
