@@ -56,6 +56,16 @@ def main(argv=None) -> int:
                     help="AOT executable cache dir: restarts "
                          "deserialize the compiled program instead of "
                          "recompiling (SERVING.md)")
+    ap.add_argument("--mesh", default=None, metavar="DATA,FILTER",
+                    help="serve on a (data, filter) device mesh via "
+                         "BatchDetector (SERVING.md topology sheet)")
+    ap.add_argument("--scale-mesh", default=None, metavar="SCALE,FILTER",
+                    help="shard pyramid levels over chips via "
+                         "ScaleShardedDetector (single-frame latency)")
+    ap.add_argument("--walk-impl", default="auto",
+                    choices=("auto", "xla", "pallas",
+                             "pallas_interpret"))
+    ap.add_argument("--dp-split", type=int, default=None)
     args = ap.parse_args(argv)
 
     from partsbaseddetector_tpu.utils.platform import ensure_platform
@@ -71,7 +81,37 @@ def main(argv=None) -> int:
     im = load_image(args.image)
     depth = load_depth(args.depth) if args.depth else None
 
-    if model.max_scale() > 0:
+    def _axes(s):
+        return tuple(int(x) for x in s.split(","))
+
+    detect_one = None
+    if args.scale_mesh is not None:
+        from partsbaseddetector_tpu.parallel.scale_sharded import (
+            ScaleShardedDetector, make_scale_mesh)
+        det = ScaleShardedDetector(
+            model, make_scale_mesh(_axes(args.scale_mesh)),
+            k_per_level=args.k_per_level,
+            conv_engine=args.conv_engine, walk_impl=args.walk_impl,
+            aot_dir=args.aot)
+        print(f"levels sharded over mesh {args.scale_mesh}")
+    elif args.mesh is not None:
+        import jax
+
+        from partsbaseddetector_tpu.parallel.mesh import make_mesh
+        from partsbaseddetector_tpu.parallel.sharded import BatchDetector
+        det = BatchDetector(
+            model, make_mesh(_axes(args.mesh)),
+            k_per_level=args.k_per_level,
+            conv_engine=args.conv_engine, walk_impl=args.walk_impl,
+            dp_split=args.dp_split, aot_dir=args.aot)
+        ndata = det.mesh.shape["data"]
+        print(f"serving on mesh {args.mesh} "
+              f"({'multires program' if det.multires else 'sharded'})")
+
+        def detect_one(image):
+            b = np.broadcast_to(image, (ndata,) + image.shape)
+            return jax.tree.map(lambda x: x[0], det.detect_batch(b))
+    elif model.max_scale() > 0:
         from partsbaseddetector_tpu.infer.multires import MultiResDetector
         det = MultiResDetector(model, k_per_level=args.k_per_level,
                                conv_engine=args.conv_engine,
@@ -80,13 +120,16 @@ def main(argv=None) -> int:
     else:
         det = Detector(model, k_per_level=args.k_per_level,
                        conv_engine=args.conv_engine,
+                       walk_impl=args.walk_impl, dp_split=args.dp_split,
                        aot_dir=args.aot)
+    if detect_one is None:
+        detect_one = det.detect_raw
     t0 = time.time()
-    cands = det.detect_raw(im)
+    cands = detect_one(im)
     if args.nms is not None:
         from partsbaseddetector_tpu.ops.nms import paint_nms
         cands = paint_nms(cands, im.shape[:2], args.nms)
-    detections = det.candidates_to_detections(cands)
+    detections = Detector.candidates_to_detections(cands)
     dt = time.time() - t0
     print(f"detection took {dt:.3f}s (first call includes compile)")
     print(f"{len(detections)} candidates above threshold "
