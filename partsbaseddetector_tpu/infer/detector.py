@@ -135,14 +135,18 @@ def _dp_groups(bucket, dp_split: int):
 
 
 def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
-                 plan: PyramidPlan, conv_engine: str = "spatial"):
+                 plan: PyramidPlan, conv_engine: str = "spatial",
+                 mask_invalid: bool = True):
     """Stages 1-2 for every bucket (ladder + HOG + filter-bank conv).
 
-    Yields (bucket, pdfs, tsizes, scales) per octave bucket, where pdfs
-    (L, fh, fw, F) is NEG-masked beyond each level's true extent so the
-    DT can never pull a padded cell into the true region.  Shared by the
-    single-resolution detect program and the multi-resolution one
-    (infer/multires.py).
+    Yields (bucket, pdfs, tsizes, scales) per octave bucket.  With
+    mask_invalid=True, pdfs (L, fh, fw, F) is NEG-masked beyond each
+    level's true extent so the DT can never pull a padded cell into the
+    true region; with False the caller fuses that mask into the DP's
+    scores0 construction instead (dp_min(true_size=...)) — value-
+    identical, but skips a full-(L, fh, fw, F) rewrite per bucket
+    (PERF.md §mask-fold).  Shared by the single-resolution detect
+    program and the multi-resolution one (infer/multires.py).
 
     conv_engine: "spatial" (direct MXU conv) or "fft" (frequency-domain
     scoring) — the reference's engine choice at distributeModel time
@@ -184,13 +188,15 @@ def pyramid_pdfs(image: jnp.ndarray, packed: PackedModel,
                              jnp.int32)
         pdfs = conv(feats, packed.bank, true_size=tsizes)
 
-        # mask responses beyond each level's true extent
-        fh, fw = bucket.feat_pad
-        masks = np.zeros((len(bucket.levels), fh, fw, 1), np.float32)
-        for j, lvl in enumerate(bucket.levels):
-            masks[j, :lvl.featsize[0], :lvl.featsize[1]] = 1.0
-        maskj = jnp.asarray(masks)
-        pdfs = pdfs * maskj + (1.0 - maskj) * NEG
+        if mask_invalid:
+            # mask responses beyond each level's true extent
+            fh, fw = bucket.feat_pad
+            masks = np.zeros((len(bucket.levels), fh, fw, 1),
+                             np.float32)
+            for j, lvl in enumerate(bucket.levels):
+                masks[j, :lvl.featsize[0], :lvl.featsize[1]] = 1.0
+            maskj = jnp.asarray(masks)
+            pdfs = pdfs * maskj + (1.0 - maskj) * NEG
 
         scales = jnp.asarray([lvl.scale for lvl in bucket.levels],
                              jnp.float32)
@@ -258,8 +264,12 @@ def _detect_program(image: jnp.ndarray, packed: PackedModel,
     """
     all_cands: List[argmax_ops.Candidates] = []
 
-    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan, conv_engine):
+    # padded-cell masking is fused into the DP's scores0 construction
+    # (dp_min(true_size=...)) instead of rewriting the full response
+    # tensor here — value-identical (PERF.md §mask-fold)
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(
+            image, packed, plan, conv_engine,
+            mask_invalid=(conv_engine == "fft")):
         if pdfs_transform is not None:
             pdfs = pdfs_transform(pdfs)
         if depth is not None and depth_cfg is not None:
@@ -290,7 +300,8 @@ def dp_backtrack_bucket(bucket, pdfs, tsizes, scales,
         gpdfs = pdfs[lo:hi, :gfh, :gfw]
         gmask = None if bmask is None else bmask[lo:hi, :, :gfh, :gfw]
         for c, comp in enumerate(packed.components):
-            res = dp_min_levels(gpdfs, comp, compose, dt_impl, gmask)
+            res = dp_min_levels(gpdfs, comp, compose, dt_impl, gmask,
+                                true_sizes=tsizes[lo:hi])
             cands = argmax_ops.backtrack_levels(
                 res, comp, packed.parent_static[c], packed.thresh,
                 scales[lo:hi], k_per_level, true_sizes=tsizes[lo:hi],

@@ -66,10 +66,20 @@ def _dp_multires(per_bucket, o: int, L: int, comp: PackedComponent,
     P, M = comp.filterid.shape
     scores: List[jnp.ndarray] = []
     for p in range(P):
-        _, pdfs_s, _, _ = per_bucket[o - pscales[p]]
+        _, pdfs_s, ts_s, _ = per_bucket[o - pscales[p]]
         sp = jnp.moveaxis(pdfs_s[:L], -1, 1)[
             :, comp.filterid[p]]                    # (L, M, Hs, Ws)
         sp = jnp.where(comp.mix_valid[p][None, :, None, None], sp, NEG)
+        # padded-cell masking fused here (value-identical to masking
+        # the response tensor; PERF.md §mask-fold): each slot's valid
+        # extent comes from its OWN bucket's true sizes
+        ts = ts_s[:L]                               # (L, 2)
+        Hs, Ws = sp.shape[-2:]
+        inb = ((jnp.arange(Hs)[None, :, None]
+                < ts[:, 0][:, None, None])
+               & (jnp.arange(Ws)[None, None, :]
+                  < ts[:, 1][:, None, None]))       # (L, Hs, Ws)
+        sp = jnp.where(inb[:, None], sp, NEG)
         if part_masks is not None:
             mb = part_masks[o - pscales[p]][:L, p]  # (L, Hs, Ws)
             sp = jnp.where(mb[:, None, :, :], sp, NEG)
@@ -199,7 +209,8 @@ def _multires_program(image: jnp.ndarray, packed: PackedModel, plan,
     from partsbaseddetector_tpu.infer.detector import _depth_bad_mask
 
     per_bucket = pyramid_pdfs(image, packed, plan,
-                              conv_engine=conv_engine)
+                              conv_engine=conv_engine,
+                              mask_invalid=(conv_engine == "fft"))
     if depth is not None and depth_cfg is not None:
         per_bucket = [(b, jnp.where(
             _depth_bad_mask(depth, b, depth_cfg)[:, :, :, None],

@@ -71,12 +71,20 @@ class DPResult(NamedTuple):
 def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
            compose: str = "reference",
            dt_impl: str = "xla",
-           part_mask=None) -> DPResult:
+           part_mask=None, true_size=None) -> DPResult:
     """Run the DP for one component on one response map.
 
     pdfs: (H, W, F) filter responses for ALL model filters (the output of
     ops.conv.conv_bank), matching the reference's responses-by-filter-id
     convention (include/Parts.hpp:165-168).
+
+    true_size: optional (2,) valid (h, w) extent of the response map —
+    cells beyond it are masked to NEG HERE, fused into the scores0
+    construction this DP materializes anyway, instead of a separate
+    full-(L, fh, fw, F)-tensor rewrite per bucket (the
+    pad_maximum_fusion the round-5 profiler priced at ~0.86 ms/frame).
+    Value-identical to pre-masked pdfs: masked cells are NEG either
+    way, so the DT can never pull a padded cell into the true region.
     """
     if compose not in ("reference", "correct"):
         raise ValueError(compose)
@@ -90,11 +98,15 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     if comp.aliased:
         # shared filter ids within the component: the accumulation
         # buffers alias by filter id, exactly as in the reference
-        return _dp_min_aliased(pdfs, comp, compose, part_mask)
+        return _dp_min_aliased(pdfs, comp, compose, part_mask,
+                               true_size)
     pdfs_f = jnp.moveaxis(pdfs, -1, 0)                 # (F, H, W)
     scores0 = pdfs_f[comp.filterid]                    # (P, M, H, W)
     # invalid mixture slots must never win any max
     scores0 = jnp.where(comp.mix_valid[..., None, None], scores0, NEG)
+    if true_size is not None:
+        inb = _inbounds(H, W, true_size)
+        scores0 = jnp.where(inb[None, None], scores0, NEG)
     if part_mask is not None:
         # latent-positive search constraint: part placements outside the
         # allowed region are suppressed (the reference's overlap masking,
@@ -137,8 +149,16 @@ def dp_min(pdfs: jnp.ndarray, comp: PackedComponent,
     return DPResult(rootv, rooti, scores, tmp)
 
 
+def _inbounds(H: int, W: int, true_size) -> jnp.ndarray:
+    """(H, W) bool: True inside the (h, w) valid extent."""
+    h, w = true_size[0], true_size[1]
+    return ((jnp.arange(H) < h)[:, None]
+            & (jnp.arange(W) < w)[None, :])
+
+
 def _dp_min_aliased(pdfs: jnp.ndarray, comp: PackedComponent,
-                    compose: str, part_mask=None) -> DPResult:
+                    compose: str, part_mask=None,
+                    true_size=None) -> DPResult:
     """DP variant for components with shared filter ids.
 
     The reference's scratch score vector is keyed BY FILTER ID
@@ -162,10 +182,14 @@ def _dp_min_aliased(pdfs: jnp.ndarray, comp: PackedComponent,
     pdfs_f = jnp.moveaxis(pdfs, -1, 0)                 # (F, H, W)
     F = pdfs_f.shape[0]
 
+    inb = None if true_size is None else _inbounds(H, W, true_size)
+
     def read(p, acc):
         fid = comp.filterid[p]                         # (M,)
         s = pdfs_f[fid] + acc[fid]                     # (M, H, W)
         s = jnp.where(comp.mix_valid[p][:, None, None], s, NEG)
+        if inb is not None:
+            s = jnp.where(inb[None], s, NEG)
         if part_mask is not None:
             s = jnp.where(part_mask[p][None, :, :], s, NEG)
         return s
@@ -207,13 +231,24 @@ def _dp_min_aliased(pdfs: jnp.ndarray, comp: PackedComponent,
 
 def dp_min_levels(pdfs: jnp.ndarray, comp: PackedComponent,
                   compose: str = "reference",
-                  dt_impl: str = "xla", part_masks=None) -> DPResult:
+                  dt_impl: str = "xla", part_masks=None,
+                  true_sizes=None) -> DPResult:
     """vmap of dp_min over a leading levels axis: pdfs (L, H, W, F);
-    part_masks: optional (L, P, H, W) bool."""
-    if part_masks is None:
+    part_masks: optional (L, P, H, W) bool; true_sizes: optional (L, 2)
+    valid extents (see dp_min — fused NEG masking of padded cells)."""
+    if part_masks is None and true_sizes is None:
         return jax.vmap(lambda x: dp_min(x, comp, compose, dt_impl))(pdfs)
-    return jax.vmap(lambda x, m: dp_min(x, comp, compose, dt_impl, m))(
-        pdfs, part_masks)
+    if true_sizes is None:
+        return jax.vmap(
+            lambda x, m: dp_min(x, comp, compose, dt_impl, m))(
+                pdfs, part_masks)
+    if part_masks is None:
+        return jax.vmap(
+            lambda x, ts: dp_min(x, comp, compose, dt_impl, None, ts))(
+                pdfs, true_sizes)
+    return jax.vmap(
+        lambda x, m, ts: dp_min(x, comp, compose, dt_impl, m, ts))(
+            pdfs, part_masks, true_sizes)
 
 
 # ---------------------------------------------------------------------

@@ -51,8 +51,11 @@ def _stage1_program(image, packed, plan, conv_engine: str = "spatial",
     from partsbaseddetector_tpu.ops.common import NEG
 
     out = []
-    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan, conv_engine):
+    # padded-cell masking fused into the back group's DP
+    # (dp_backtrack_bucket passes true sizes; PERF.md §mask-fold)
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(
+            image, packed, plan, conv_engine,
+            mask_invalid=(conv_engine == "fft")):
         if depth is not None and depth_cfg is not None:
             bad = _depth_bad_mask(depth, bucket, depth_cfg)
             pdfs = jnp.where(bad[:, :, :, None], NEG, pdfs)

@@ -56,8 +56,11 @@ def _scale_program(image, packed, plan, k_per_level: int, compose: str,
     spec4 = NamedSharding(mesh, P("scale", None, None, None))
     rep4 = NamedSharding(mesh, P(None, None, None, None))
     all_cands = []
-    for bucket, pdfs, tsizes, scales in pyramid_pdfs(image, packed,
-                                                     plan, conv_engine):
+    # padded-cell masking fused into the DP (true_sizes below);
+    # scale-padding levels are created as NEG with zero true sizes
+    for bucket, pdfs, tsizes, scales in pyramid_pdfs(
+            image, packed, plan, conv_engine,
+            mask_invalid=(conv_engine == "fft")):
         # the conv leaves pdfs sharded on the FILTER axis; the DP needs
         # every filter per level, so the transition is filter-sharded ->
         # level-sharded.  Stage it explicitly: replicate first (a clean
@@ -102,7 +105,8 @@ def _scale_program(image, packed, plan, k_per_level: int, compose: str,
                     bucket.levels[0].index, walk_impl)
             else:
                 res = dp_min_levels(pdfs, comp, compose,
-                                    part_masks=bmask)
+                                    part_masks=bmask,
+                                    true_sizes=tsizes)
                 cands = argmax_ops.backtrack_levels(
                     res, comp, packed.parent_static[c], packed.thresh,
                     scales, k_per_level, true_sizes=tsizes,
@@ -129,7 +133,8 @@ def _stage34_shard_map(pdfs, tsizes, scales, bmask, comp,
 
     def body(pdfs_l, ts_l, sc_l, bm_l, comp_l, thresh_l):
         offset = base_level + jax.lax.axis_index("scale") * L_local
-        res = dp_min_levels(pdfs_l, comp_l, compose, part_masks=bm_l)
+        res = dp_min_levels(pdfs_l, comp_l, compose, part_masks=bm_l,
+                            true_sizes=ts_l)
         return argmax_ops.backtrack_levels(
             res, comp_l, parent_static, thresh_l, sc_l, k_per_level,
             true_sizes=ts_l, component_index=component_index,
